@@ -1,0 +1,110 @@
+"""Differentiable tile-binned Gaussian-splat rasterizer (public API).
+
+TPU-native replacement for the reference's external
+`diff_gaussian_rasterization` CUDA extension (SURVEY.md §2.3 N1).  The
+pipeline is: EWA preprocess (jnp, AD) -> tile binning (static-shape sort,
+integer) -> tiled alpha compositing (Pallas kernel on TPU, jnp fallback
+elsewhere; custom VJP).  Inputs are fixed-size masked Gaussian sets — the
+static-shape replacement for the reference's variable-length boolean-mask
+gather (lib/GaussianRender.py:16-27).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from gps_gaussian_tpu.kernels.rasterizer.binning import bin_gaussians
+from gps_gaussian_tpu.kernels.rasterizer.composite_jnp import composite_tiles
+from gps_gaussian_tpu.kernels.rasterizer.preprocess import project_gaussians
+from gps_gaussian_tpu.kernels.rasterizer.reference import composite_reference
+from gps_gaussian_tpu.utils.containers import FlatGaussians, NovelCamera
+
+
+@dataclasses.dataclass(frozen=True)
+class RasterizeConfig:
+    """Static capacities (SURVEY.md §7 hard part 2: capped, never silent)."""
+
+    tile: int = 16
+    max_tiles_per_gaussian: int = 64   # per-Gaussian tile-duplication cap
+    max_per_tile: int = 1024           # depth-sorted per-tile blend cap
+    backend: str = "auto"              # 'jnp' | 'pallas' | 'auto'
+
+    def resolve_backend(self) -> str:
+        if self.backend != "auto":
+            return self.backend
+        return "pallas" if jax.default_backend() == "tpu" else "jnp"
+
+
+class RasterizeAux(NamedTuple):
+    transmittance: jnp.ndarray   # (H, W, 1) final per-pixel T
+    num_dropped: jnp.ndarray     # () pairs lost to the duplication cap
+
+
+def rasterize_single(xyz, rot, scale, opacity, color, valid,
+                     view, proj, tanfovx, tanfovy,
+                     height: int, width: int, bg_color,
+                     cfg: RasterizeConfig = RasterizeConfig()):
+    """Render one Gaussian set into one camera.  Shapes (N, ...) static.
+
+    Returns (image (H, W, 3), RasterizeAux).
+    """
+    projd = project_gaussians(xyz, rot, scale, opacity, color, valid,
+                              view, proj, tanfovx, tanfovy, height, width)
+    bins = bin_gaussians(projd.mean2d, projd.depth, projd.radius,
+                         height, width, cfg.tile,
+                         cfg.max_tiles_per_gaussian)
+
+    idx = bins.gauss_index
+    live_s = bins.pair_valid & (projd.radius[idx] > 0.0)
+
+    backend = cfg.resolve_backend()
+    if backend == "pallas":
+        from gps_gaussian_tpu.kernels.rasterizer.pallas_kernel import (
+            composite_tiles_pallas)
+        img, trans = composite_tiles_pallas(
+            projd.mean2d[idx], projd.conic[idx], projd.opacity[idx],
+            projd.color[idx], live_s, bins.tile_start, bins.tile_count,
+            height, width, jnp.asarray(bg_color, jnp.float32),
+            tile=cfg.tile, max_per_tile=cfg.max_per_tile)
+    else:
+        img, trans = composite_tiles(
+            projd.mean2d[idx], projd.conic[idx], projd.opacity[idx],
+            projd.color[idx], live_s, bins.tile_start, bins.tile_count,
+            height, width, jnp.asarray(bg_color, jnp.float32),
+            tile=cfg.tile, max_per_tile=cfg.max_per_tile)
+    return img, RasterizeAux(transmittance=trans,
+                             num_dropped=bins.num_dropped)
+
+
+def rasterize_reference_single(xyz, rot, scale, opacity, color, valid,
+                               view, proj, tanfovx, tanfovy,
+                               height: int, width: int, bg_color):
+    """The exact slow oracle (per-pixel over all N)."""
+    projd = project_gaussians(xyz, rot, scale, opacity, color, valid,
+                              view, proj, tanfovx, tanfovy, height, width)
+    return composite_reference(projd, jnp.asarray(bg_color, jnp.float32),
+                               height, width)
+
+
+def rasterize(gaussians: FlatGaussians, camera: NovelCamera, bg_color,
+              cfg: RasterizeConfig = RasterizeConfig()) -> jnp.ndarray:
+    """Batched render: (B, N) Gaussians into (B,) cameras -> (B, H, W, 3).
+
+    Capability of reference lib/GaussianRender.py pts2render, without the
+    per-sample python loop: one vmapped program over the batch.
+    """
+    bg = jnp.asarray(bg_color, jnp.float32)
+
+    def one(g: FlatGaussians, view, proj, tanfovx, tanfovy):
+        img, _ = rasterize_single(
+            g.xyz, g.rot, g.scale, g.opacity, g.rgb, g.valid,
+            view, proj, tanfovx, tanfovy,
+            camera.height, camera.width, bg, cfg)
+        return img
+
+    return jax.vmap(one)(gaussians, camera.view, camera.proj,
+                         camera.tanfovx, camera.tanfovy)

@@ -1,0 +1,84 @@
+"""Tile binning: duplicate -> sort by (tile, depth) -> per-tile ranges.
+
+Static-shape equivalent of the CUDA rasterizer's duplicateWithKeys + global
+radix sort + identifyTileRanges (SURVEY.md §2.3 N1): every Gaussian emits up
+to `max_tiles_per_gaussian` (tile, depth, index) tuples (a static cap;
+overflow is counted, never silent — SURVEY.md §7 hard part 2), one stable
+multi-key `lax.sort` orders them, and searchsorted yields each tile's
+segment.  Everything is integer/stop-grad: gradients flow through the
+gathered float properties, not the permutation.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+from jax import lax
+
+
+class TileBins(NamedTuple):
+    gauss_index: jnp.ndarray   # (P,) int32 index into the Gaussian arrays
+    pair_valid: jnp.ndarray    # (P,) bool (False entries pad the tail)
+    tile_start: jnp.ndarray    # (T,) int32 first pair of each tile
+    tile_count: jnp.ndarray    # (T,) int32 pairs in each tile
+    num_dropped: jnp.ndarray   # () int32 pairs lost to the per-Gaussian cap
+
+
+def bin_gaussians(mean2d: jnp.ndarray, depth: jnp.ndarray,
+                  radius: jnp.ndarray, height: int, width: int,
+                  tile: int = 16,
+                  max_tiles_per_gaussian: int = 64) -> TileBins:
+    """mean2d (N,2), depth (N,), radius (N,) -> sorted pair lists."""
+    mean2d = lax.stop_gradient(mean2d)
+    depth = lax.stop_gradient(depth)
+    radius = lax.stop_gradient(radius)
+
+    n = mean2d.shape[0]
+    tiles_x = -(-width // tile)
+    tiles_y = -(-height // tile)
+    num_tiles = tiles_x * tiles_y
+
+    # CUDA getRect: exclusive-max tile rectangle, clamped to the grid
+    x_min = jnp.clip(jnp.floor((mean2d[:, 0] - radius) / tile), 0,
+                     tiles_x).astype(jnp.int32)
+    x_max = jnp.clip(jnp.floor((mean2d[:, 0] + radius + tile - 1) / tile),
+                     0, tiles_x).astype(jnp.int32)
+    y_min = jnp.clip(jnp.floor((mean2d[:, 1] - radius) / tile), 0,
+                     tiles_y).astype(jnp.int32)
+    y_max = jnp.clip(jnp.floor((mean2d[:, 1] + radius + tile - 1) / tile),
+                     0, tiles_y).astype(jnp.int32)
+
+    span_x = x_max - x_min
+    span_y = y_max - y_min
+    total = jnp.where(radius > 0.0, span_x * span_y, 0)     # (N,)
+    num_dropped = jnp.sum(jnp.maximum(total - max_tiles_per_gaussian, 0))
+
+    k = jnp.arange(max_tiles_per_gaussian, dtype=jnp.int32)  # (K,)
+    span_x_safe = jnp.maximum(span_x, 1)[:, None]
+    dx = k[None, :] % span_x_safe                            # (N, K)
+    dy = k[None, :] // span_x_safe
+    pair_valid = k[None, :] < total[:, None]                 # (N, K)
+    tile_id = (y_min[:, None] + dy) * tiles_x + (x_min[:, None] + dx)
+    tile_id = jnp.where(pair_valid, tile_id, num_tiles)      # pad sentinel
+
+    gauss_idx = jnp.broadcast_to(
+        jnp.arange(n, dtype=jnp.int32)[:, None], tile_id.shape)
+    depth_k = jnp.broadcast_to(depth[:, None], tile_id.shape)
+
+    tile_flat = tile_id.reshape(-1)
+    depth_flat = depth_k.reshape(-1).astype(jnp.float32)
+    idx_flat = gauss_idx.reshape(-1)
+    valid_flat = pair_valid.reshape(-1)
+
+    tile_s, _, idx_s, valid_s = lax.sort(
+        (tile_flat, depth_flat, idx_flat, valid_flat.astype(jnp.int32)),
+        num_keys=2, is_stable=True)
+
+    tile_range = jnp.arange(num_tiles, dtype=jnp.int32)
+    start = jnp.searchsorted(tile_s, tile_range, side="left").astype(jnp.int32)
+    end = jnp.searchsorted(tile_s, tile_range, side="right").astype(jnp.int32)
+
+    return TileBins(gauss_index=idx_s, pair_valid=valid_s.astype(bool),
+                    tile_start=start, tile_count=end - start,
+                    num_dropped=num_dropped)
