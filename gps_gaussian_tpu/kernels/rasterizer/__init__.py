@@ -32,6 +32,7 @@ class RasterizeConfig:
     max_tiles_per_gaussian: int = 64   # per-Gaussian tile-duplication cap
     max_per_tile: int = 1024           # depth-sorted per-tile blend cap
     backend: str = "auto"              # 'jnp' | 'pallas' | 'auto'
+    interpret: bool = False            # run the pallas kernel interpreted
 
     def resolve_backend(self) -> str:
         if self.backend != "auto":
@@ -58,19 +59,20 @@ def rasterize_single(xyz, rot, scale, opacity, color, valid,
                          height, width, cfg.tile,
                          cfg.max_tiles_per_gaussian)
 
-    idx = bins.gauss_index
-    live_s = bins.pair_valid & (projd.radius[idx] > 0.0)
-
     backend = cfg.resolve_backend()
     if backend == "pallas":
         from gps_gaussian_tpu.kernels.rasterizer.pallas_kernel import (
-            composite_tiles_pallas)
-        img, trans = composite_tiles_pallas(
-            projd.mean2d[idx], projd.conic[idx], projd.opacity[idx],
-            projd.color[idx], live_s, bins.tile_start, bins.tile_count,
+            composite_pairs_pallas, pad_segments)
+        seg = pad_segments(bins.sorted_tile, bins.gauss_index,
+                           bins.pair_valid, bins.tile_start, bins.tile_count,
+                           cfg.max_per_tile)
+        img, trans = composite_pairs_pallas(
+            projd.mean2d, projd.conic, projd.opacity, projd.color, seg,
             height, width, jnp.asarray(bg_color, jnp.float32),
-            tile=cfg.tile, max_per_tile=cfg.max_per_tile)
+            interpret=cfg.interpret)
     else:
+        idx = bins.gauss_index
+        live_s = bins.pair_valid & (projd.radius[idx] > 0.0)
         img, trans = composite_tiles(
             projd.mean2d[idx], projd.conic[idx], projd.opacity[idx],
             projd.color[idx], live_s, bins.tile_start, bins.tile_count,

@@ -20,6 +20,7 @@ from jax import lax
 class TileBins(NamedTuple):
     gauss_index: jnp.ndarray   # (P,) int32 index into the Gaussian arrays
     pair_valid: jnp.ndarray    # (P,) bool (False entries pad the tail)
+    sorted_tile: jnp.ndarray   # (P,) int32 tile id per sorted pair
     tile_start: jnp.ndarray    # (T,) int32 first pair of each tile
     tile_count: jnp.ndarray    # (T,) int32 pairs in each tile
     num_dropped: jnp.ndarray   # () int32 pairs lost to the per-Gaussian cap
@@ -80,5 +81,5 @@ def bin_gaussians(mean2d: jnp.ndarray, depth: jnp.ndarray,
     end = jnp.searchsorted(tile_s, tile_range, side="right").astype(jnp.int32)
 
     return TileBins(gauss_index=idx_s, pair_valid=valid_s.astype(bool),
-                    tile_start=start, tile_count=end - start,
-                    num_dropped=num_dropped)
+                    sorted_tile=tile_s, tile_start=start,
+                    tile_count=end - start, num_dropped=num_dropped)

@@ -13,6 +13,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from jax import lax
+
 from gps_gaussian_tpu.kernels.rasterizer.reference import (ALPHA_MAX,
                                                            ALPHA_MIN, T_EPS)
 
@@ -72,7 +74,8 @@ def composite_tiles(mean2d_s, conic_s, opacity_s, color_s, live_s,
     blend = include & (jnp.cumsum(viol.astype(jnp.int32), axis=1) == 0)
 
     w = jnp.where(blend, alpha * t_excl, 0.0)
-    img_tiles = jnp.einsum("tmp,tmc->tpc", w, color)         # (T, px, 3)
+    img_tiles = jnp.einsum("tmp,tmc->tpc", w, color,
+                           precision=lax.Precision.HIGHEST)  # (T, px, 3)
     t_final = jnp.exp(jnp.sum(jnp.where(blend, log1m, 0.0), axis=1))
     img_tiles = img_tiles + t_final[..., None] * bg_color[None, None, :]
 

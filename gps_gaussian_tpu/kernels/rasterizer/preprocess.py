@@ -19,6 +19,14 @@ from typing import NamedTuple
 import jax.numpy as jnp
 from jax import lax
 
+# projection geometry is precision-sensitive: force true-f32 matmuls
+# (TPU default is one bf16 pass, which visibly shifts mean2d/conics)
+_HI = lax.Precision.HIGHEST
+
+
+def _mm(a, b):
+    return jnp.matmul(a, b, precision=_HI)
+
 
 class Projected(NamedTuple):
     """Screen-space Gaussians, fixed shape (N,...); radius==0 => culled."""
@@ -48,7 +56,7 @@ def build_cov3d(rot: jnp.ndarray, scale: jnp.ndarray) -> jnp.ndarray:
     """Sigma = R diag(s^2) R^T, (N, 3, 3)."""
     R = quat_to_rotmat(rot)
     M = R * scale[..., None, :]          # R @ diag(s)
-    return M @ jnp.swapaxes(M, -1, -2)
+    return _mm(M, jnp.swapaxes(M, -1, -2))
 
 
 def project_gaussians(xyz: jnp.ndarray, rot: jnp.ndarray, scale: jnp.ndarray,
@@ -62,11 +70,11 @@ def project_gaussians(xyz: jnp.ndarray, rot: jnp.ndarray, scale: jnp.ndarray,
     ones = jnp.ones((n, 1), jnp.float32)
     hom = jnp.concatenate([xyz, ones], axis=-1)            # (N, 4)
 
-    p_view = hom @ view.T                                   # (N, 4)
+    p_view = _mm(hom, view.T)                               # (N, 4)
     tz = p_view[:, 2]
     in_front = tz > 0.2                                     # near cull
 
-    p_hom = hom @ proj.T                                    # (N, 4)
+    p_hom = _mm(hom, proj.T)                                # (N, 4)
     p_w = 1.0 / (p_hom[:, 3] + 1e-7)
     ndc = p_hom[:, :3] * p_w[:, None]
     mean2d = jnp.stack([
@@ -91,8 +99,8 @@ def project_gaussians(xyz: jnp.ndarray, rot: jnp.ndarray, scale: jnp.ndarray,
         jnp.stack([zero, fy / tz_safe, -fy * ty / (tz_safe * tz_safe)], -1),
     ], axis=-2)                                             # (N, 2, 3)
     Wv = view[:3, :3]                                       # (3, 3)
-    T = J @ Wv                                              # (N, 2, 3)
-    cov2d = T @ cov3d @ jnp.swapaxes(T, -1, -2)             # (N, 2, 2)
+    T = _mm(J, Wv)                                          # (N, 2, 3)
+    cov2d = _mm(_mm(T, cov3d), jnp.swapaxes(T, -1, -2))     # (N, 2, 2)
     # EWA low-pass: every splat covers at least ~1 px (CUDA adds 0.3)
     a = cov2d[:, 0, 0] + 0.3
     b = cov2d[:, 0, 1]

@@ -1,0 +1,90 @@
+"""Pallas composite kernel vs the jnp tiled composite: fwd + grad allclose.
+
+Runs the TPU kernel in interpreter mode on CPU (SURVEY.md §4a) over the same
+binned scene as the jnp path, through the public rasterize_single dispatch.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gps_gaussian_tpu.geometry import cameras
+from gps_gaussian_tpu.kernels.rasterizer import (RasterizeConfig,
+                                                 rasterize_single)
+
+RES = 48  # 3x3 tile grid
+
+CFG_J = RasterizeConfig(max_tiles_per_gaussian=16, max_per_tile=512,
+                        backend="jnp")
+CFG_P = RasterizeConfig(max_tiles_per_gaussian=16, max_per_tile=512,
+                        backend="pallas", interpret=True)
+
+
+def _scene_args(rng, n=300, res=RES):
+    K = np.array([[0.8 * res, 0, res / 2],
+                  [0, 0.8 * res, res / 2], [0, 0, 1]], np.float32)
+    E = np.eye(3, 4, dtype=np.float32)
+    E[2, 3] = 2.0
+    cam = cameras.camera_from_intr_extr(K, E, res, res)
+
+    xyz = rng.normal(scale=0.3, size=(n, 3)).astype(np.float32)
+    q = rng.normal(size=(n, 4)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    scale = rng.uniform(0.005, 0.06, size=(n, 3)).astype(np.float32)
+    opacity = rng.uniform(0.1, 0.95, size=(n, 1)).astype(np.float32)
+    color = rng.uniform(0, 1, size=(n, 3)).astype(np.float32)
+    valid = (rng.uniform(size=(n,)) > 0.1).astype(np.float32)
+    return ((jnp.asarray(xyz), jnp.asarray(q), jnp.asarray(scale),
+             jnp.asarray(opacity), jnp.asarray(color), jnp.asarray(valid),
+             jnp.asarray(cam["view"]), jnp.asarray(cam["proj"]),
+             cam["tanfovx"], cam["tanfovy"], res, res),
+            jnp.asarray([0.1, 0.5, 0.9], jnp.float32))
+
+
+def test_pallas_forward_matches_jnp(rng):
+    args, bg = _scene_args(rng)
+    img_j, aux_j = rasterize_single(*args, bg, CFG_J)
+    img_p, aux_p = rasterize_single(*args, bg, CFG_P)
+    np.testing.assert_allclose(np.asarray(img_p), np.asarray(img_j),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(aux_p.transmittance),
+                               np.asarray(aux_j.transmittance), atol=1e-5)
+
+
+def test_pallas_gradients_match_jnp(rng):
+    args, bg = _scene_args(rng, n=200)
+    xyz, q, scale, opacity, color = args[:5]
+    rest = args[5:]
+    w_img = jnp.asarray(rng.normal(size=(RES, RES, 3)), jnp.float32)
+    w_t = jnp.asarray(rng.normal(size=(RES, RES, 1)), jnp.float32)
+
+    def make_loss(cfg):
+        def loss(xyz, q, scale, opacity, color):
+            img, aux = rasterize_single(xyz, q, scale, opacity, color,
+                                        *rest, bg, cfg)
+            return jnp.sum(img * w_img) + jnp.sum(aux.transmittance * w_t)
+        return loss
+
+    l_j = float(make_loss(CFG_J)(xyz, q, scale, opacity, color))
+    l_p = float(make_loss(CFG_P)(xyz, q, scale, opacity, color))
+    np.testing.assert_allclose(l_p, l_j, rtol=1e-5)
+
+    g_j = jax.grad(make_loss(CFG_J), argnums=(0, 1, 2, 3, 4))(
+        xyz, q, scale, opacity, color)
+    g_p = jax.grad(make_loss(CFG_P), argnums=(0, 1, 2, 3, 4))(
+        xyz, q, scale, opacity, color)
+    for gj, gp, name in zip(g_j, g_p,
+                            ("xyz", "rot", "scale", "opacity", "color")):
+        s = np.abs(np.asarray(gj)).max() + 1e-8
+        np.testing.assert_allclose(np.asarray(gp) / s, np.asarray(gj) / s,
+                                   atol=1e-5, err_msg=name)
+
+
+def test_pallas_empty_scene(rng):
+    args, bg = _scene_args(rng, n=8)
+    args = args[:5] + (jnp.zeros((8,)),) + args[6:]   # all masked out
+    img, aux = rasterize_single(*args, bg, CFG_P)
+    np.testing.assert_allclose(
+        np.asarray(img), np.broadcast_to(np.asarray(bg), (RES, RES, 3)),
+        atol=1e-6)
+    np.testing.assert_allclose(np.asarray(aux.transmittance), 1.0)
