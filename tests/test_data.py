@@ -1,0 +1,116 @@
+"""Data pipeline: synthetic generation, rectified loading, GT-flow geometry."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from gps_gaussian_tpu.data import synth
+from gps_gaussian_tpu.data.loader import BatchLoader, collate
+from gps_gaussian_tpu.data.thuman import (DatasetConfig, StereoHumanDataset,
+                                          unproject_inv_depth)
+from gps_gaussian_tpu.geometry.pointcloud import (flow_to_inv_depth,
+                                                  inv_depth_to_points)
+
+RES = 96
+
+
+@pytest.fixture(scope="module")
+def dataset_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("synthdata")
+    synth.generate_dataset(root, n_train=2, n_val=1, res=RES, hr=True)
+    return root
+
+
+def test_generated_layout(dataset_root):
+    scan = sorted((dataset_root / "train" / "img").iterdir())[0]
+    vids = sorted(p.name for p in scan.iterdir())
+    assert "0.jpg" in vids and "4.jpg" in vids
+    assert "2_hr.jpg" in vids          # novel views carry hi-res targets
+    assert (dataset_root / "train" / "depth" / scan.name / "0.png").exists()
+    assert (dataset_root / "train" / "parm" / scan.name /
+            "0_intrinsic.npy").exists()
+
+
+def test_depth_roundtrip_through_files(dataset_root):
+    """uint16 inverse-depth files reproject onto the sphere surfaces."""
+    from gps_gaussian_tpu.data.thuman import _read_inv_depth
+    scan = sorted((dataset_root / "train" / "img").iterdir())[0].name
+    base = dataset_root / "train"
+    invd = _read_inv_depth(base / "depth" / scan / "0.png")
+    intr = np.load(base / "parm" / scan / "0_intrinsic.npy")
+    extr = np.load(base / "parm" / scan / "0_extrinsic.npy")
+    pts = unproject_inv_depth(invd, intr, extr)
+    sel = invd > 0.05
+    assert sel.sum() > 100
+    # all surface points live inside the scene bounding sphere
+    r = np.linalg.norm(pts[sel] - np.array([0, 0.85, 0]), axis=-1)
+    assert float(r.max()) < 1.6
+
+
+def test_sample_and_gt_flow_geometry(dataset_root):
+    cfg = DatasetConfig(data_root=str(dataset_root), src_res=RES,
+                        use_processed_data=False)
+    ds = StereoHumanDataset(cfg, "train")
+    rng = np.random.default_rng(0)
+    s = ds.get_sample(0, cfg.train_novel_ids, rng)
+
+    lm = s["lmain"]
+    assert lm["img"].shape == (RES, RES, 3)
+    assert lm["img"].min() >= -1.0 and lm["img"].max() <= 1.0
+    assert s["novel"]["img"].shape[0] == RES  # hr off by default
+
+    # GT flow -> inverse depth -> world points must land on the scene
+    batch = collate([s])
+    inv_d = flow_to_inv_depth(
+        jnp.asarray(batch.lmain.flow), jnp.asarray(batch.lmain.intr),
+        jnp.asarray(batch.lmain.ref_intr), jnp.asarray(batch.lmain.tf_x),
+        jnp.asarray(batch.lmain.valid))
+    pts = inv_depth_to_points(jnp.asarray(inv_d[..., 0]),
+                              jnp.asarray(batch.lmain.extr),
+                              jnp.asarray(batch.lmain.intr))
+    valid = np.asarray(batch.lmain.valid[0, ..., 0]) > 0.5
+    assert valid.sum() > 100
+    p = np.asarray(pts[0])[valid]
+    r = np.linalg.norm(p - np.array([0, 0.85, 0]), axis=-1)
+    # eroded-mask edges can still straddle depth discontinuities; the bulk
+    # of the points must sit on the figure
+    assert float(np.percentile(r, 95)) < 1.6
+
+    # left/right reconstructions describe the same surface: compare
+    # both views' point clouds via their distance distributions
+    inv_d_r = flow_to_inv_depth(
+        jnp.asarray(batch.rmain.flow), jnp.asarray(batch.rmain.intr),
+        jnp.asarray(batch.rmain.ref_intr), jnp.asarray(batch.rmain.tf_x),
+        jnp.asarray(batch.rmain.valid))
+    pts_r = inv_depth_to_points(jnp.asarray(inv_d_r[..., 0]),
+                                jnp.asarray(batch.rmain.extr),
+                                jnp.asarray(batch.rmain.intr))
+    valid_r = np.asarray(batch.rmain.valid[0, ..., 0]) > 0.5
+    pr = np.asarray(pts_r[0])[valid_r]
+    c_l, c_r = p.mean(axis=0), pr.mean(axis=0)
+    assert np.linalg.norm(c_l - c_r) < 0.1
+
+
+def test_rectified_cache_roundtrip(dataset_root):
+    cfg = DatasetConfig(data_root=str(dataset_root), src_res=RES,
+                        use_processed_data=True)
+    ds = StereoHumanDataset(cfg, "val")
+    a = ds.rectified_stereo(ds.scans[0])   # builds cache
+    b = ds.rectified_stereo(ds.scans[0])   # reads cache
+    np.testing.assert_allclose(a["flow0"], b["flow0"])
+    assert (dataset_root / "rectified_local" / "val").exists()
+
+
+def test_batch_loader(dataset_root):
+    cfg = DatasetConfig(data_root=str(dataset_root), src_res=RES,
+                        use_processed_data=False)
+    ds = StereoHumanDataset(cfg, "train")
+    loader = BatchLoader(ds, batch_size=2, novel_ids=cfg.train_novel_ids,
+                         num_threads=1)
+    try:
+        batch = next(loader)
+        assert batch.lmain.img.shape == (2, RES, RES, 3)
+        assert batch.novel.img.shape == (2, RES, RES, 3)
+        assert batch.novel.camera.view.shape == (2, 4, 4)
+    finally:
+        loader.close()
