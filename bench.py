@@ -1,0 +1,102 @@
+#!/usr/bin/env python
+"""Benchmark: differentiable splat fwd+bwd ms/frame at 1024x1024 on 1 chip.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+
+Scene mirrors the reference's production regime (SURVEY.md §6): 2x1024^2
+pixel-aligned Gaussian candidates, ~15% foreground, splatted into a
+1024x1024 novel view.  vs_baseline compares against the only citable
+reference number — the paper's ~25 FPS (40 ms) full-pipeline claim on an
+RTX 3090 (BASELINE.md; the splat is the dominant stage per SURVEY.md §3.5
+hot-loop ranking), so >1.0 means faster than the reference's whole frame.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def build_scene(res: int = 1024, fg_frac: float = 0.15, seed: int = 0):
+    """Human-silhouette-like Gaussian cloud: N = 2*res^2 candidates."""
+    rng = np.random.default_rng(seed)
+    n = 2 * res * res
+    n_fg = int(n * fg_frac)
+
+    # foreground points on a capsule (body-like) surface
+    theta = rng.uniform(0, 2 * np.pi, n_fg)
+    y = rng.uniform(0.0, 1.7, n_fg)
+    r = 0.25 * (0.6 + 0.4 * np.sin(np.pi * y / 1.7))
+    xyz = np.stack([r * np.cos(theta), y, r * np.sin(theta)],
+                   axis=-1).astype(np.float32)
+    xyz_all = np.zeros((n, 3), np.float32)
+    idx = rng.permutation(n)[:n_fg]
+    xyz_all[idx] = xyz
+    valid = np.zeros((n,), np.float32)
+    valid[idx] = 1.0
+
+    q = rng.normal(size=(n, 4)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True) + 1e-9
+    # pixel-aligned gaussian scale regime: <= 0.01 world units (head clamp)
+    scale = rng.uniform(0.002, 0.01, (n, 3)).astype(np.float32)
+    opacity = rng.uniform(0.3, 0.95, (n, 1)).astype(np.float32)
+    color = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+    return xyz_all, q, scale, opacity, color, valid
+
+
+def main():
+    from gps_gaussian_tpu.geometry import cameras
+    from gps_gaussian_tpu.kernels.rasterizer import (RasterizeConfig,
+                                                     rasterize_single)
+
+    res = 1024
+    xyz, q, scale, opacity, color, valid = build_scene(res)
+    K = np.array([[0.8 * res, 0, res / 2],
+                  [0, 0.8 * res, res / 2 + 25], [0, 0, 1]], np.float32)
+    E = np.eye(3, 4, dtype=np.float32)
+    E[1, 3] = -0.85
+    E[2, 3] = 2.0
+    cam = cameras.camera_from_intr_extr(K, E, res, res)
+
+    cfg = RasterizeConfig(max_tiles_per_gaussian=8, max_per_tile=2048,
+                          fg_cap=400_000, pair_budget=1_572_864,
+                          backend="auto")
+    args = (jnp.asarray(xyz), jnp.asarray(q), jnp.asarray(scale),
+            jnp.asarray(opacity), jnp.asarray(color), jnp.asarray(valid),
+            jnp.asarray(cam["view"]), jnp.asarray(cam["proj"]),
+            cam["tanfovx"], cam["tanfovy"])
+    bg = jnp.zeros(3, jnp.float32)
+
+    def loss(xyz, q, scale, opacity, color):
+        img, aux = rasterize_single(xyz, q, scale, opacity, color,
+                                    args[5], *args[6:], res, res, bg, cfg)
+        return jnp.sum(img) + jnp.sum(aux.transmittance)
+
+    step = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3, 4)))
+
+    # warmup / compile
+    out = step(*args[:5])
+    jax.block_until_ready(out)
+
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = step(*args[:5])
+    jax.block_until_ready(out)
+    ms = (time.perf_counter() - t0) / iters * 1e3
+
+    baseline_ms = 40.0  # paper claim: ~25 FPS full pipeline, RTX 3090
+    print(json.dumps({
+        "metric": "splat_fwd_bwd_ms_per_frame_1024",
+        "value": round(ms, 3),
+        "unit": "ms",
+        "vs_baseline": round(baseline_ms / ms, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

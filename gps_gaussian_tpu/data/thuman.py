@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
+import threading
 from pathlib import Path
 from typing import Optional, Sequence
 
@@ -120,9 +121,16 @@ class StereoHumanDataset:
         if self.cache_dir is not None:
             cache = self.cache_dir / f"{scan}.npz"
             if cache.exists():
-                return dict(np.load(cache))
+                try:
+                    return dict(np.load(cache))
+                except Exception:
+                    pass  # mid-write by another worker: rebuild below
             data = self._build_rectified(scan)
-            np.savez_compressed(cache, **data)
+            # atomic publish so concurrent readers never see partial files
+            tmp = cache.with_suffix(f".{os.getpid()}.{threading.get_ident()}.tmp")
+            with open(tmp, "wb") as f:
+                np.savez_compressed(f, **data)
+            os.replace(tmp, cache)
             return data
         return self._build_rectified(scan)
 

@@ -1,0 +1,125 @@
+"""Freeview novel-view inference (capability of reference
+test_view_interp.py / test_real_data.py).
+
+Improvement over the reference: the full stereo network re-runs for every
+interpolation ratio there (test_view_interp.py:42-44); here the expensive
+stereo forward runs ONCE per frame and only the (cheap) rasterization
+re-runs per novel viewpoint — the split that makes real-time freeview
+sweeps possible.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gps_gaussian_tpu.data.loader import collate
+from gps_gaussian_tpu.data.thuman import DatasetConfig, StereoHumanDataset
+from gps_gaussian_tpu.geometry import cameras
+from gps_gaussian_tpu.kernels.rasterizer import RasterizeConfig, rasterize
+from gps_gaussian_tpu.train.config import Config
+from gps_gaussian_tpu.train.trainer import make_model, make_raster_config
+from gps_gaussian_tpu.utils.containers import (FlatGaussians, NovelCamera,
+                                               StereoSample)
+
+
+class FreeviewRenderer:
+    """Stereo forward once -> pixel-aligned Gaussians -> render any view."""
+
+    def __init__(self, cfg: Config, params, dataset: Optional[
+            StereoHumanDataset] = None):
+        self.cfg = cfg
+        self.params = params
+        self.model = make_model(cfg, with_gs=True)
+        self.rcfg = make_raster_config(cfg)
+        self.bg = jnp.asarray(cfg.dataset.bg_color, jnp.float32)
+        self.dataset = dataset
+
+        self._forward = jax.jit(self._forward_impl)
+        self._render = {}
+
+    # -------------------------------------------------------------- core
+    def _forward_impl(self, batch: StereoSample) -> FlatGaussians:
+        out = self.model.apply(self.params, batch,
+                               iters=self.cfg.raft.val_iters,
+                               test_mode=True)
+        return out.lmain_gs.flatten().concat(out.rmain_gs.flatten())
+
+    def gaussians(self, batch: StereoSample) -> FlatGaussians:
+        return self._forward(batch)
+
+    def render(self, gauss: FlatGaussians, camera: NovelCamera):
+        key = (camera.height, camera.width)
+        if key not in self._render:
+            self._render[key] = jax.jit(
+                lambda g, c: rasterize(g, c, self.bg, self.rcfg))
+        return self._render[key](gauss, camera)
+
+    # ------------------------------------------------------------ drivers
+    def novel_camera_at(self, sample: dict, ratio: float,
+                        height: int, width: int) -> NovelCamera:
+        """Interpolated camera between the ORIGINAL (unrectified) source
+        poses (reference lib/utils.py:9-55 get_novel_calib)."""
+        intr0, intr1 = sample["intr_ori"]
+        extr0, extr1 = sample["extr_ori"]
+        hr_scale = 2.0 if self.cfg.dataset.use_hr_img else 1.0
+        cam, _, _ = cameras.interpolated_novel_camera(
+            intr0, extr0, intr1, extr1, ratio, height, width,
+            hr_scale=hr_scale, znear=self.cfg.dataset.znear,
+            zfar=self.cfg.dataset.zfar)
+        return cameras.make_novel_camera([cam], height, width)
+
+    def infer_static(self, index: int, n_views: int = 9):
+        """Sweep ratios (i+0.5)/N for one frame (test_view_interp.py:34-47).
+
+        The stereo forward runs once; each view re-renders only."""
+        assert self.dataset is not None
+        sample = self.dataset.get_test_sample(index)
+        batch = collate([sample])
+        gauss = self.gaussians(batch)
+        res = self.cfg.dataset.src_res
+        out_res = res * 2 if self.cfg.dataset.use_hr_img else res
+        images = []
+        for i in range(n_views):
+            ratio = (i + 0.5) / n_views
+            cam = self.novel_camera_at(sample, ratio, out_res, out_res)
+            img = self.render(gauss, cam)
+            images.append(np.clip(np.asarray(img[0]), 0, 1))
+        return images
+
+    def infer_sequence(self, ratio: float = 0.5):
+        """Render every dataset frame at one fixed novel ratio
+        (test_real_data.py:34-45)."""
+        assert self.dataset is not None
+        res = self.cfg.dataset.src_res
+        out_res = res * 2 if self.cfg.dataset.use_hr_img else res
+        for idx in range(len(self.dataset)):
+            sample = self.dataset.get_test_sample(idx)
+            batch = collate([sample])
+            gauss = self.gaussians(batch)
+            cam = self.novel_camera_at(sample, ratio, out_res, out_res)
+            img = self.render(gauss, cam)
+            yield sample["name"], np.clip(np.asarray(img[0]), 0, 1)
+
+
+def load_renderer(cfg: Config, ckpt_dir: str,
+                  dataset: Optional[StereoHumanDataset] = None,
+                  example_batch: Optional[StereoSample] = None
+                  ) -> FreeviewRenderer:
+    """Restore trained params and build a renderer."""
+    from gps_gaussian_tpu.train import state as state_lib
+
+    model = make_model(cfg, with_gs=True)
+    if example_batch is None:
+        assert dataset is not None
+        example_batch = collate([dataset.get_test_sample(0)])
+    params = model.init(jax.random.PRNGKey(0), example_batch,
+                        iters=cfg.raft.val_iters, test_mode=True)
+    params, n = state_lib.restore_params_partial(ckpt_dir, params)
+    if n == 0:
+        raise FileNotFoundError(f"no restorable params in {ckpt_dir}")
+    return FreeviewRenderer(cfg, params, dataset)

@@ -58,28 +58,50 @@ class PaddedSegments(NamedTuple):
 
 def pad_segments(sorted_tile: jnp.ndarray, sorted_index: jnp.ndarray,
                  pair_valid: jnp.ndarray, tile_start: jnp.ndarray,
-                 tile_count: jnp.ndarray, max_per_tile: int
-                 ) -> PaddedSegments:
-    """Re-index sorted pairs so each tile's segment is CHUNK-aligned."""
+                 tile_count: jnp.ndarray, max_per_tile: int,
+                 pair_budget: int | None = None) -> PaddedSegments:
+    """Re-index sorted pairs so each tile's segment is CHUNK-aligned.
+
+    pair_budget bounds the number of REAL (valid) sorted pairs processed —
+    invalid pairs sort behind the sentinel tile id, so the real ones are a
+    contiguous prefix and a static slice is exact (overflow tiles are
+    truncated at their far end, like the max_per_tile cap).
+    """
     num_tiles = tile_start.shape[0]
     p_total = sorted_tile.shape[0]
+    if pair_budget is not None and pair_budget < p_total:
+        sorted_index = sorted_index[:pair_budget]
+        p_total = pair_budget
+        tile_start = jnp.minimum(tile_start, p_total)
+        tile_count = jnp.minimum(tile_count, p_total - tile_start)
     count = jnp.minimum(tile_count, max_per_tile)
     padded = ((count + CHUNK - 1) // CHUNK) * CHUNK
-    pstart = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32),
-         jnp.cumsum(padded)[:-1].astype(jnp.int32)])
-    p_pad = p_total + CHUNK * num_tiles   # static worst case
+    cum = jnp.cumsum(padded).astype(jnp.int32)              # inclusive
+    pstart = jnp.concatenate([jnp.zeros((1,), jnp.int32), cum[:-1]])
+    # static worst case, rounded to a whole number of chunks
+    p_pad = ((p_total + CHUNK - 1) // CHUNK + num_tiles) * CHUNK
 
-    s = jnp.arange(p_total, dtype=jnp.int32)
-    tile_of = jnp.clip(sorted_tile, 0, num_tiles - 1)
-    offset = s - tile_start[tile_of]
-    ok = pair_valid & (sorted_tile < num_tiles) & (offset < count[tile_of])
-    pos = jnp.where(ok, pstart[tile_of] + offset, p_pad)
+    # gather-only inverse mapping, computed PER CHUNK then broadcast:
+    # every segment start is CHUNK-aligned, so all 128 slots of a chunk
+    # share one tile.  This cuts the binary-search query count by 128x
+    # (3.9M-query searchsorted measured 340 ms; 30k-query is 5 ms).
+    # NOTE pair_valid is intentionally unused: invalid pairs carry the
+    # sentinel tile id, sort to the very end, and are excluded by the
+    # segment counts — re-gathering the flag cost a pointless ~30 ms.
+    assert p_pad % CHUNK == 0
+    nch = p_pad // CHUNK
+    ch0 = jnp.arange(nch, dtype=jnp.int32) * CHUNK
+    tile_of = jnp.searchsorted(cum, ch0, side="right").astype(jnp.int32)
+    tile_cl = jnp.clip(tile_of, 0, num_tiles - 1)
+    lane = jnp.arange(CHUNK, dtype=jnp.int32)[None, :]
+    offset = (ch0 - pstart[tile_cl])[:, None] + lane        # (nch, CHUNK)
+    live_b = (tile_of[:, None] < num_tiles) & (offset < count[tile_cl][:, None])
+    src = jnp.clip(tile_start[tile_cl][:, None] + offset, 0, p_total - 1)
 
-    gauss_index = jnp.zeros((p_pad,), jnp.int32).at[pos].set(
-        sorted_index, mode="drop")
-    live = jnp.zeros((p_pad,), jnp.float32).at[pos].set(1.0, mode="drop")
-    return PaddedSegments(gauss_index=gauss_index, live=live,
+    gauss_index = jnp.where(
+        live_b, sorted_index[src.reshape(-1)].reshape(nch, CHUNK), 0)
+    return PaddedSegments(gauss_index=gauss_index.reshape(-1),
+                          live=live_b.astype(jnp.float32).reshape(-1),
                           tile_start=pstart, tile_count=count)
 
 
@@ -88,21 +110,15 @@ def pack_props(mean2d, conic, opacity, color, seg: PaddedSegments):
     array.  Ordinary jnp: its AD backward is the per-Gaussian scatter-add."""
     n = mean2d.shape[0]
     idx = jnp.clip(seg.gauss_index, 0, n - 1)
-    rows = [
-        mean2d[idx, 0], mean2d[idx, 1],
-        conic[idx, 0], conic[idx, 1], conic[idx, 2],
-        opacity.reshape(n)[idx],
-        color[idx, 0], color[idx, 1], color[idx, 2],
-        seg.live,
-    ]
-    p_pad = idx.shape[0]
-    zeros = jnp.zeros((p_pad,), jnp.float32)
-    rows += [zeros] * (PROPW - len(rows))
-    props = jnp.stack(rows, axis=0)
-    # dead Gaussians in padding slots must not leak values
-    props = props * seg.live[None, :]
+    # ONE contiguous row-gather instead of 10 strided 1D gathers
+    # (measured 500 ms -> the row form is a plain memory-bound copy)
+    stacked = jnp.concatenate([
+        mean2d, conic, opacity.reshape(n, 1), color,
+        jnp.ones((n, 1), jnp.float32),
+        jnp.zeros((n, PROPW - 10), jnp.float32)], axis=1)   # (N, 16)
+    props = stacked[idx] * seg.live[:, None]                # (P_pad, 16)
     # tail margin so the last chunk's DMA stays in bounds
-    return jnp.pad(props, ((0, 0), (0, CHUNK)))
+    return jnp.pad(props.T, ((0, 0), (0, CHUNK)))
 
 
 def _pixel_coords(ty, tx):

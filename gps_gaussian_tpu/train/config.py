@@ -1,0 +1,131 @@
+"""Typed config tree + yaml recipe overlay (capability of the reference's
+yacs schema, config/stereo_human_config.py:4-62).
+
+Dataclasses replace CfgNode; `load_config(yaml_path)` overlays a recipe
+onto the defaults and returns a frozen config.  Field names and defaults
+mirror the reference so its stage1/stage2 recipes carry over unchanged.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+from typing import Optional, Sequence, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class RaftConfig:
+    """reference config: raft.* (stereo_human_config.py:27-41)."""
+
+    mixed_precision: bool = False
+    train_iters: int = 3
+    val_iters: int = 3
+    corr_levels: int = 4
+    corr_radius: int = 4
+    n_downsample: int = 3            # 1/8 resolution features
+    encoder_dims: Tuple[int, ...] = (32, 48, 96)
+    hidden_dims: Tuple[int, ...] = (96, 96, 96)
+
+
+@dataclasses.dataclass(frozen=True)
+class GsnetConfig:
+    """reference config: gsnet.* (stereo_human_config.py:43-47)."""
+
+    encoder_dims: Tuple[int, ...] = (32, 48, 96)
+    decoder_dims: Tuple[int, ...] = (48, 64, 96)
+    parm_head_dim: int = 32
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    """reference config: dataset.* (stereo_human_config.py:13-25)."""
+
+    data_root: str = ""
+    source_id: Tuple[int, ...] = (0, 1)
+    train_novel_id: Tuple[int, ...] = (2, 3, 4)
+    val_novel_id: Tuple[int, ...] = (3,)
+    src_res: int = 1024
+    use_hr_img: bool = False
+    use_processed_data: bool = True
+    bg_color: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    znear: float = 0.01
+    zfar: float = 100.0
+
+
+@dataclasses.dataclass(frozen=True)
+class RasterConfig:
+    """Static capacities of the tile rasterizer (no reference equivalent —
+    the CUDA rasterizer allocated dynamically; TPU shapes are static)."""
+
+    max_tiles_per_gaussian: int = 16
+    max_per_tile: int = 1024
+    backend: str = "auto"
+
+
+@dataclasses.dataclass(frozen=True)
+class RecordConfig:
+    """reference config: record.* (stereo_human_config.py:49-55)."""
+
+    ckpt_path: str = "experiments"
+    show_path: str = "experiments"
+    logs_path: str = "experiments"
+    file_path: str = "experiments"
+    loss_freq: int = 50
+    eval_freq: int = 2000
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    name: str = "exp"
+    stage: str = "stage1"
+    batch_size: int = 2
+    lr: float = 2e-4
+    wdecay: float = 1e-5
+    grad_clip: float = 1.0
+    num_steps: int = 40000
+    scheduler_steps: Optional[int] = None   # None -> num_steps + 100
+    restore_ckpt: Optional[str] = None
+    stage1_ckpt: Optional[str] = None
+    seed: int = 1314
+    raft: RaftConfig = RaftConfig()
+    gsnet: GsnetConfig = GsnetConfig()
+    dataset: DataConfig = DataConfig()
+    raster: RasterConfig = RasterConfig()
+    record: RecordConfig = RecordConfig()
+
+
+def _overlay(dc, updates: dict):
+    """Recursively overlay a dict onto a (frozen) dataclass."""
+    kwargs = {}
+    for k, v in updates.items():
+        if not hasattr(dc, k):
+            raise KeyError(f"unknown config key: {k!r} for {type(dc).__name__}")
+        cur = getattr(dc, k)
+        if dataclasses.is_dataclass(cur) and isinstance(v, dict):
+            kwargs[k] = _overlay(cur, v)
+        elif isinstance(cur, tuple) and isinstance(v, (list, tuple)):
+            kwargs[k] = tuple(v)
+        else:
+            kwargs[k] = v
+    return dataclasses.replace(dc, **kwargs)
+
+
+def load_config(yaml_path: Optional[str] = None, **overrides) -> Config:
+    cfg = Config()
+    if yaml_path is not None:
+        import yaml
+
+        with open(yaml_path) as f:
+            data = yaml.safe_load(f) or {}
+        cfg = _overlay(cfg, data)
+    if overrides:
+        cfg = _overlay(cfg, overrides)
+    return cfg
+
+
+def save_config(cfg: Config, path: str):
+    import json
+
+    Path(path).parent.mkdir(parents=True, exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(dataclasses.asdict(cfg), f, indent=1)

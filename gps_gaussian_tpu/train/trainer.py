@@ -1,0 +1,262 @@
+"""Two-stage trainers (capability of reference train_stage1.py /
+train_stage2.py): stage1 pretrains disparity only; stage2 trains end-to-end
+through the differentiable rasterizer with loss
+1.0*flow + 0.8*L1 + 0.2*(1-SSIM) (train_stage2.py:70-72).
+
+TPU-first structure: one jitted, donated train step; batches shard over the
+('data',) mesh axis; parameters replicate; bf16 compute under
+raft.mixed_precision with f32 losses and optimizer.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+from pathlib import Path
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gps_gaussian_tpu.data.loader import BatchLoader
+from gps_gaussian_tpu.data.thuman import DatasetConfig, StereoHumanDataset
+from gps_gaussian_tpu.kernels.rasterizer import RasterizeConfig, rasterize
+from gps_gaussian_tpu.models.gps_gaussian import GPSGaussianModel
+from gps_gaussian_tpu.train import losses, sharding, state as state_lib
+from gps_gaussian_tpu.train.config import Config
+from gps_gaussian_tpu.utils.containers import (FlatGaussians, NovelView,
+                                               StereoSample)
+
+log = logging.getLogger("gps_tpu.train")
+
+
+def make_model(cfg: Config, with_gs: bool) -> GPSGaussianModel:
+    return GPSGaussianModel(
+        encoder_dims=tuple(cfg.raft.encoder_dims),
+        hidden_dim=cfg.raft.hidden_dims[2],
+        context_dim=cfg.raft.hidden_dims[2],
+        corr_levels=cfg.raft.corr_levels,
+        corr_radius=cfg.raft.corr_radius,
+        gsnet_encoder_dims=tuple(cfg.gsnet.encoder_dims),
+        gsnet_decoder_dims=tuple(cfg.gsnet.decoder_dims),
+        gsnet_head_dim=cfg.gsnet.parm_head_dim,
+        with_gs=with_gs,
+        dtype=jnp.bfloat16 if cfg.raft.mixed_precision else None)
+
+
+def make_raster_config(cfg: Config) -> RasterizeConfig:
+    return RasterizeConfig(
+        max_tiles_per_gaussian=cfg.raster.max_tiles_per_gaussian,
+        max_per_tile=cfg.raster.max_per_tile,
+        backend=cfg.raster.backend)
+
+
+def render_novel(out, novel: NovelView, bg_color, rcfg: RasterizeConfig):
+    """Splat both views' pixel-aligned Gaussians into the novel camera
+    (capability of lib/GaussianRender.py pts2render, batched not looped)."""
+    gauss = out.lmain_gs.flatten().concat(out.rmain_gs.flatten())
+    return rasterize(gauss, novel.camera, jnp.asarray(bg_color), rcfg)
+
+
+def _stacked_flow_gt(batch: StereoSample):
+    flow = jnp.concatenate([batch.lmain.flow, batch.rmain.flow], axis=0)
+    valid = jnp.concatenate([batch.lmain.valid, batch.rmain.valid], axis=0)
+    return flow, valid
+
+
+def make_train_step(model: GPSGaussianModel, cfg: Config, stage: str,
+                    rcfg: RasterizeConfig):
+    bg = jnp.asarray(cfg.dataset.bg_color, jnp.float32)
+
+    def loss_fn(params, batch: StereoSample):
+        out = model.apply(params, batch, iters=cfg.raft.train_iters)
+        flow_gt, valid = _stacked_flow_gt(batch)
+        flow_loss, metrics = losses.sequence_loss(
+            out.flow_preds, flow_gt, valid)
+        if stage == "stage1":
+            return flow_loss, metrics
+        img_pred = render_novel(out, batch.novel, bg, rcfg)
+        img_gt = batch.novel.img
+        l1 = losses.l1_loss(img_pred, img_gt)
+        ssim_val = losses.ssim(img_pred, img_gt)
+        total = 1.0 * flow_loss + 0.8 * l1 + 0.2 * (1.0 - ssim_val)
+        metrics = dict(metrics, l1=l1, ssim=ssim_val, flow_loss=flow_loss)
+        return total, metrics
+
+    def train_step(state: state_lib.TrainState, batch: StereoSample):
+        (loss, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, batch)
+        new_state = state.apply_gradients(grads)
+        metrics = dict(metrics, loss=loss)
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(model: GPSGaussianModel, cfg: Config, stage: str,
+                   rcfg: RasterizeConfig):
+    bg = jnp.asarray(cfg.dataset.bg_color, jnp.float32)
+
+    def eval_step(params, batch: StereoSample):
+        out = model.apply(params, batch, iters=cfg.raft.val_iters,
+                          test_mode=True)
+        flow_gt, valid = _stacked_flow_gt(batch)
+        epe = jnp.sqrt(jnp.sum((out.final_flow - flow_gt) ** 2, axis=-1))
+        vm = (valid >= 0.5).astype(jnp.float32)[..., 0]
+        denom = jnp.maximum(vm.sum(), 1.0)
+        metrics = {
+            "val_epe": (epe * vm).sum() / denom,
+            "val_1px": ((epe < 1).astype(jnp.float32) * vm).sum() / denom,
+        }
+        img_pred = None
+        if stage == "stage2":
+            img_pred = render_novel(out, batch.novel, bg, rcfg)
+            metrics["val_psnr"] = losses.psnr(img_pred,
+                                              batch.novel.img).mean()
+        return metrics, img_pred
+
+    return eval_step
+
+
+class Trainer:
+    """Experiment driver: loaders, jitted steps, logging, checkpoints."""
+
+    def __init__(self, cfg: Config, exp_dir: Optional[str] = None,
+                 dataset: Optional[StereoHumanDataset] = None,
+                 val_dataset: Optional[StereoHumanDataset] = None,
+                 mesh=None):
+        self.cfg = cfg
+        self.stage = cfg.stage
+        self.exp_dir = Path(exp_dir or
+                            f"{cfg.record.ckpt_path}/{cfg.name}")
+        for sub in ("ckpt", "show", "logs"):
+            (self.exp_dir / sub).mkdir(parents=True, exist_ok=True)
+
+        ds_cfg = DatasetConfig(
+            data_root=cfg.dataset.data_root,
+            src_res=cfg.dataset.src_res,
+            source_ids=tuple(cfg.dataset.source_id),
+            train_novel_ids=tuple(cfg.dataset.train_novel_id),
+            val_novel_ids=tuple(cfg.dataset.val_novel_id),
+            use_hr_img=cfg.dataset.use_hr_img,
+            use_processed_data=cfg.dataset.use_processed_data,
+            znear=cfg.dataset.znear, zfar=cfg.dataset.zfar)
+        self.train_ds = dataset or StereoHumanDataset(ds_cfg, "train")
+        self.val_ds = val_dataset or StereoHumanDataset(ds_cfg, "val")
+
+        novel_train = (tuple(cfg.dataset.train_novel_id)
+                       if self.stage == "stage2" else
+                       tuple(cfg.dataset.train_novel_id))
+        self.train_loader = BatchLoader(
+            self.train_ds, cfg.batch_size, novel_train, seed=cfg.seed,
+            process_index=jax.process_index(),
+            process_count=jax.process_count())
+        self.val_loader = BatchLoader(
+            self.val_ds, cfg.batch_size, tuple(cfg.dataset.val_novel_id),
+            seed=cfg.seed + 77,
+            process_index=jax.process_index(),
+            process_count=jax.process_count())
+
+        self.model = make_model(cfg, with_gs=(self.stage == "stage2"))
+        self.rcfg = make_raster_config(cfg)
+        self.mesh = mesh or sharding.make_mesh()
+
+        # init params from one host batch
+        init_batch = self._device_batch(next(self.train_loader))
+        params = self.model.init(jax.random.PRNGKey(cfg.seed), init_batch,
+                                 iters=cfg.raft.train_iters)
+        if self.stage == "stage2" and cfg.stage1_ckpt:
+            params, n = state_lib.restore_params_partial(
+                cfg.stage1_ckpt, params)
+            log.info("stage1 warm start: %d leaves restored", n)
+        self.state = state_lib.create_state(cfg, params)
+        self.state = self.state.replace(
+            params=sharding.replicate(self.mesh, self.state.params),
+            opt_state=sharding.replicate(self.mesh, self.state.opt_state))
+        if cfg.restore_ckpt:
+            self.state = state_lib.restore_checkpoint(cfg.restore_ckpt,
+                                                      self.state)
+            log.info("resumed at step %d", int(self.state.step))
+
+        self.train_step = jax.jit(
+            make_train_step(self.model, cfg, self.stage, self.rcfg),
+            donate_argnums=(0,))
+        self.eval_step = jax.jit(
+            make_eval_step(self.model, cfg, self.stage, self.rcfg))
+
+        self.writer = None
+        try:
+            from tensorboardX import SummaryWriter
+
+            self.writer = SummaryWriter(str(self.exp_dir / "logs"))
+        except Exception:
+            pass
+
+    # ------------------------------------------------------------------
+    def _device_batch(self, batch: StereoSample) -> StereoSample:
+        return sharding.shard_batch(self.mesh, batch)
+
+    def train(self, num_steps: Optional[int] = None):
+        cfg = self.cfg
+        total = num_steps or cfg.num_steps
+        running: dict = {}
+        t0 = time.time()
+        start_step = int(self.state.step)
+        for step in range(start_step, total):
+            batch = self._device_batch(next(self.train_loader))
+            self.state, metrics = self.train_step(self.state, batch)
+
+            for k, v in metrics.items():
+                running[k] = running.get(k, 0.0) + float(v)
+            if (step + 1) % cfg.record.loss_freq == 0:
+                n = cfg.record.loss_freq
+                msg = " ".join(f"{k}={v / n:.4f}"
+                               for k, v in sorted(running.items()))
+                rate = n * cfg.batch_size / (time.time() - t0)
+                log.info("step %d: %s (%.2f pairs/s)", step + 1, msg, rate)
+                if self.writer:
+                    for k, v in running.items():
+                        self.writer.add_scalar(k, v / n, step + 1)
+                running, t0 = {}, time.time()
+                state_lib.save_checkpoint(str(self.exp_dir / "ckpt"),
+                                          self.state)
+            if (step + 1) % cfg.record.eval_freq == 0:
+                self.run_eval(step + 1)
+        state_lib.save_checkpoint(str(self.exp_dir / "ckpt"), self.state,
+                                  wait=True)
+        return self.state
+
+    def run_eval(self, step: int, num_batches: int = 8):
+        agg: dict = {}
+        preview = None
+        for i in range(num_batches):
+            batch = self._device_batch(next(self.val_loader))
+            metrics, img_pred = self.eval_step(self.state.params, batch)
+            for k, v in metrics.items():
+                agg[k] = agg.get(k, 0.0) + float(v)
+            if i == 0 and img_pred is not None:
+                preview = np.asarray(img_pred[0])
+        msg = " ".join(f"{k}={v / num_batches:.4f}"
+                       for k, v in sorted(agg.items()))
+        log.info("eval @%d: %s", step, msg)
+        if self.writer:
+            for k, v in agg.items():
+                self.writer.add_scalar(k, v / num_batches, step)
+        if preview is not None:
+            try:
+                import imageio.v2 as imageio
+
+                imageio.imwrite(
+                    str(self.exp_dir / "show" / f"{step:08d}.jpg"),
+                    (np.clip(preview, 0, 1) * 255).astype(np.uint8))
+            except Exception:
+                pass
+        return {k: v / num_batches for k, v in agg.items()}
+
+    def close(self):
+        self.train_loader.close()
+        self.val_loader.close()
+        if self.writer:
+            self.writer.close()

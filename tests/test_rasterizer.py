@@ -203,3 +203,35 @@ def test_duplication_cap_overflow_is_counted(rng):
         cam["tanfovx"], cam["tanfovy"], RES, RES,
         np.zeros(3, np.float32), cfg)
     assert int(aux.num_dropped) > 0
+
+
+def test_foreground_compaction_preserves_image(rng):
+    cam = _camera()
+    xyz, q, scale, opacity, color, valid = _scene(rng, n=250)
+    bg = np.array([0.1, 0.1, 0.1], np.float32)
+    args = (jnp.asarray(xyz), jnp.asarray(q), jnp.asarray(scale),
+            jnp.asarray(opacity), jnp.asarray(color), jnp.asarray(valid),
+            jnp.asarray(cam["view"]), jnp.asarray(cam["proj"]),
+            cam["tanfovx"], cam["tanfovy"], RES, RES, jnp.asarray(bg))
+    base = RasterizeConfig(max_tiles_per_gaussian=16, max_per_tile=512,
+                           backend="jnp")
+    img0, _ = rasterize_single(*args, base)
+    img1, aux1 = rasterize_single(
+        *args, RasterizeConfig(max_tiles_per_gaussian=16, max_per_tile=512,
+                               fg_cap=256, backend="jnp"))
+    assert int(aux1.num_fg_dropped) == 0
+    np.testing.assert_allclose(np.asarray(img1), np.asarray(img0), atol=1e-5)
+    # grads flow through the compaction gathers
+    def loss(xyz):
+        img, _ = rasterize_single(
+            xyz, *args[1:], RasterizeConfig(max_tiles_per_gaussian=16,
+                                            max_per_tile=512, fg_cap=256,
+                                            backend="jnp"))
+        return jnp.sum(img)
+    g = jax.grad(loss)(args[0])
+    assert np.isfinite(np.asarray(g)).all() and float(jnp.abs(g).sum()) > 0
+    # tight cap drops and reports
+    _, aux2 = rasterize_single(
+        *args, RasterizeConfig(max_tiles_per_gaussian=16, max_per_tile=512,
+                               fg_cap=32, backend="jnp"))
+    assert int(aux2.num_fg_dropped) > 0
