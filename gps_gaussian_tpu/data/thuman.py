@@ -30,6 +30,7 @@ from typing import Optional, Sequence
 
 import numpy as np
 
+from gps_gaussian_tpu import native
 from gps_gaussian_tpu.geometry import cameras, stereo
 
 
@@ -145,10 +146,11 @@ class StereoHumanDataset:
         cam, map0, map1 = stereo.rectify_stereo_pair(
             intr0, extr0, intr1, extr1, size)
 
-        new_img0 = stereo.remap_bilinear(img0, *map0)
-        new_img1 = stereo.remap_bilinear(img1, *map1)
-        new_mask0 = stereo.remap_bilinear(mask0.astype(np.float32), *map0)
-        new_mask1 = stereo.remap_bilinear(mask1.astype(np.float32), *map1)
+        # native C++ path (threaded); numpy fallback inside if no toolchain
+        new_img0 = native.remap_bilinear(img0, *map0)
+        new_img1 = native.remap_bilinear(img1, *map1)
+        new_mask0 = native.remap_bilinear(mask0.astype(np.float32), *map0)
+        new_mask1 = native.remap_bilinear(mask1.astype(np.float32), *map1)
 
         out = {
             "img0": new_img0, "img1": new_img1,
@@ -168,13 +170,13 @@ class StereoHumanDataset:
                 (pts0, map0, cam["intr0"], cam["extr0"], offset0, tf_x),
                 (pts1, map1, cam["intr1"], cam["extr1"], offset1, -tf_x))):
             inv_d = project_inv_depth(pts, intr_n, extr_n)
-            inv_d = stereo.remap_bilinear(inv_d, *mp)
+            inv_d = native.remap_bilinear(inv_d, *mp)
             disparity = -inv_d * tf
             flow = off - disparity
             flow = np.where(inv_d < 0.05, 0.0, flow).astype(np.float32)
 
             valid = (out[f"mask{k}"] / 255.0).astype(np.float32)
-            valid = stereo.erode3x3(valid)
+            valid = native.erode3x3(valid)
             valid = (valid >= 0.66).astype(np.float32)
             flow = flow * valid
             out[f"flow{k}"] = flow
