@@ -91,24 +91,51 @@ def rasterize_single(xyz, rot, scale, opacity, color, valid,
     projd = project_gaussians(xyz, rot, scale, opacity, color, valid,
                               view, proj, tanfovx, tanfovy, height, width)
     num_fg_dropped = jnp.zeros((), jnp.int32)
-    if cfg.fg_cap is not None:
-        projd, num_fg_dropped = compact_foreground(projd, cfg.fg_cap)
-    bins = bin_gaussians(projd.mean2d, projd.depth, projd.radius,
-                         height, width, cfg.tile,
-                         cfg.max_tiles_per_gaussian)
 
     backend = cfg.resolve_backend()
     if backend == "pallas":
         from gps_gaussian_tpu.kernels.rasterizer.pallas_kernel import (
-            composite_pairs_pallas, pad_segments)
-        seg = pad_segments(bins.sorted_tile, bins.gauss_index,
+            composite_stacked_pallas, pad_segments, stack_rows,
+            take_rows_unique)
+        # fused row layout: one gather moves ALL per-Gaussian properties
+        # through compaction (depth/radius ride rows 10-11 for binning)
+        n = projd.depth.shape[0]
+        stacked = stack_rows(
+            projd.mean2d, projd.conic, projd.opacity, projd.color,
+            extra=jnp.stack([projd.depth, projd.radius], axis=1))
+        if cfg.fg_cap is not None:
+            live = projd.radius > 0.0
+            order = jnp.argsort(jnp.logical_not(live))
+            if n < cfg.fg_cap:
+                order = jnp.pad(order, (0, cfg.fg_cap - n))
+            idx_map = order[: cfg.fg_cap]
+            n_live = jnp.sum(live.astype(jnp.int32))
+            n_kept = jnp.minimum(n_live, cfg.fg_cap)
+            num_fg_dropped = n_live - n_kept
+            slot_live = (jnp.arange(cfg.fg_cap, dtype=jnp.int32)
+                         < n_kept).astype(jnp.float32)
+            stacked = take_rows_unique(stacked,
+                                       idx_map.astype(jnp.float32))
+            stacked = jnp.concatenate(
+                [stacked[:, :11], stacked[:, 11:12] * slot_live[:, None],
+                 stacked[:, 12:]], axis=1)
+        bins = bin_gaussians(stacked[:, 0:2], stacked[:, 10],
+                             stacked[:, 11], height, width, cfg.tile,
+                             cfg.max_tiles_per_gaussian)
+        seg = pad_segments(bins.sorted_tile, bins.pair_slot,
+                           cfg.max_tiles_per_gaussian,
                            bins.pair_valid, bins.tile_start, bins.tile_count,
                            cfg.max_per_tile, cfg.pair_budget)
-        img, trans = composite_pairs_pallas(
-            projd.mean2d, projd.conic, projd.opacity, projd.color, seg,
+        img, trans = composite_stacked_pallas(
+            stacked, seg, cfg.max_tiles_per_gaussian,
             height, width, jnp.asarray(bg_color, jnp.float32),
             interpret=cfg.interpret)
     else:
+        if cfg.fg_cap is not None:
+            projd, num_fg_dropped = compact_foreground(projd, cfg.fg_cap)
+        bins = bin_gaussians(projd.mean2d, projd.depth, projd.radius,
+                             height, width, cfg.tile,
+                             cfg.max_tiles_per_gaussian)
         idx = bins.gauss_index
         live_s = bins.pair_valid & (projd.radius[idx] > 0.0)
         img, trans = composite_tiles(

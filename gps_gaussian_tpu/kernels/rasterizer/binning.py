@@ -19,6 +19,7 @@ from jax import lax
 
 class TileBins(NamedTuple):
     gauss_index: jnp.ndarray   # (P,) int32 index into the Gaussian arrays
+    pair_slot: jnp.ndarray     # (P,) int32 unique pre-sort id g*K + k
     pair_valid: jnp.ndarray    # (P,) bool (False entries pad the tail)
     sorted_tile: jnp.ndarray   # (P,) int32 tile id per sorted pair
     tile_start: jnp.ndarray    # (T,) int32 first pair of each tile
@@ -63,23 +64,26 @@ def bin_gaussians(mean2d: jnp.ndarray, depth: jnp.ndarray,
     tile_id = (y_min[:, None] + dy) * tiles_x + (x_min[:, None] + dx)
     tile_id = jnp.where(pair_valid, tile_id, num_tiles)      # pad sentinel
 
-    gauss_idx = jnp.broadcast_to(
-        jnp.arange(n, dtype=jnp.int32)[:, None], tile_id.shape)
     depth_k = jnp.broadcast_to(depth[:, None], tile_id.shape)
 
     tile_flat = tile_id.reshape(-1)
     depth_flat = depth_k.reshape(-1).astype(jnp.float32)
-    idx_flat = gauss_idx.reshape(-1)
-    valid_flat = pair_valid.reshape(-1)
+    # carry the UNIQUE pre-sort slot id (= g * K + k) instead of the
+    # gaussian index: slot // K recovers the gaussian, and uniqueness lets
+    # the backward segment-sum avoid TPU's pathological duplicate scatters
+    slot_flat = jnp.arange(
+        n * max_tiles_per_gaussian, dtype=jnp.int32)
 
-    tile_s, _, idx_s, valid_s = lax.sort(
-        (tile_flat, depth_flat, idx_flat, valid_flat.astype(jnp.int32)),
-        num_keys=2, is_stable=True)
+    tile_s, _, slot_s = lax.sort(
+        (tile_flat, depth_flat, slot_flat), num_keys=2, is_stable=True)
+    # validity needs no sort operand: invalid pairs carry the sentinel id
+    valid_s = tile_s < num_tiles
 
     tile_range = jnp.arange(num_tiles, dtype=jnp.int32)
     start = jnp.searchsorted(tile_s, tile_range, side="left").astype(jnp.int32)
     end = jnp.searchsorted(tile_s, tile_range, side="right").astype(jnp.int32)
 
-    return TileBins(gauss_index=idx_s, pair_valid=valid_s.astype(bool),
+    return TileBins(gauss_index=slot_s // max_tiles_per_gaussian,
+                    pair_slot=slot_s, pair_valid=valid_s,
                     sorted_tile=tile_s, tile_start=start,
                     tile_count=end - start, num_dropped=num_dropped)

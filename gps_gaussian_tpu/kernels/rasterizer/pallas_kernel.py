@@ -51,14 +51,16 @@ class PaddedSegments(NamedTuple):
     """Pair layout whose tile segments start at CHUNK-aligned offsets."""
 
     gauss_index: jnp.ndarray   # (P_pad,) i32 source Gaussian per slot
+    pair_slot: jnp.ndarray     # (P_pad,) i32 unique pre-sort id g*K + k
     live: jnp.ndarray          # (P_pad,) f32 {0,1}
     tile_start: jnp.ndarray    # (T,) i32, every entry a multiple of CHUNK
     tile_count: jnp.ndarray    # (T,) i32 (capped at max_per_tile)
 
 
-def pad_segments(sorted_tile: jnp.ndarray, sorted_index: jnp.ndarray,
-                 pair_valid: jnp.ndarray, tile_start: jnp.ndarray,
-                 tile_count: jnp.ndarray, max_per_tile: int,
+def pad_segments(sorted_tile: jnp.ndarray, sorted_slot: jnp.ndarray,
+                 dup_cap: int, pair_valid: jnp.ndarray,
+                 tile_start: jnp.ndarray, tile_count: jnp.ndarray,
+                 max_per_tile: int,
                  pair_budget: int | None = None) -> PaddedSegments:
     """Re-index sorted pairs so each tile's segment is CHUNK-aligned.
 
@@ -70,7 +72,7 @@ def pad_segments(sorted_tile: jnp.ndarray, sorted_index: jnp.ndarray,
     num_tiles = tile_start.shape[0]
     p_total = sorted_tile.shape[0]
     if pair_budget is not None and pair_budget < p_total:
-        sorted_index = sorted_index[:pair_budget]
+        sorted_slot = sorted_slot[:pair_budget]
         p_total = pair_budget
         tile_start = jnp.minimum(tile_start, p_total)
         tile_count = jnp.minimum(tile_count, p_total - tile_start)
@@ -98,27 +100,118 @@ def pad_segments(sorted_tile: jnp.ndarray, sorted_index: jnp.ndarray,
     live_b = (tile_of[:, None] < num_tiles) & (offset < count[tile_cl][:, None])
     src = jnp.clip(tile_start[tile_cl][:, None] + offset, 0, p_total - 1)
 
-    gauss_index = jnp.where(
-        live_b, sorted_index[src.reshape(-1)].reshape(nch, CHUNK), 0)
-    return PaddedSegments(gauss_index=gauss_index.reshape(-1),
+    slot = jnp.where(
+        live_b, sorted_slot[src.reshape(-1)].reshape(nch, CHUNK), 0)
+    return PaddedSegments(gauss_index=(slot // dup_cap).reshape(-1),
+                          pair_slot=slot.reshape(-1),
                           live=live_b.astype(jnp.float32).reshape(-1),
                           tile_start=pstart, tile_count=count)
 
 
-def pack_props(mean2d, conic, opacity, color, seg: PaddedSegments):
-    """Gather per-Gaussian floats into the (16, P_pad+CHUNK) property-major
-    array.  Ordinary jnp: its AD backward is the per-Gaussian scatter-add."""
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _gather_rows(stacked, gidx_f, slot_f, live, dup_cap):
+    """Row gather with a gather-based backward segment-sum.
+
+    JAX AD would emit a duplicate-index ROW scatter-add for the backward,
+    which is pathologically slow on TPU (measured 200 ms at production
+    sizes, vs 28 ms for the equivalent gathers).  Because every pair
+    carries a UNIQUE pre-sort slot id, the backward can instead be one
+    scalar int scatter (building the slot->position inverse map) plus a
+    dense row-gather + reshape-sum over the K duplicate axis.
+
+    gidx/slot travel as f32 so the cotangent structure stays all-float
+    (both are exact integers well below 2^24).
+    """
+    n = stacked.shape[0]
+    idx = jnp.clip(gidx_f.astype(jnp.int32), 0, n - 1)
+    return stacked[idx] * live[:, None]                     # (P_pad, 16)
+
+
+def _gather_rows_fwd(stacked, gidx_f, slot_f, live, dup_cap):
+    out = _gather_rows(stacked, gidx_f, slot_f, live, dup_cap)
+    return out, (stacked.shape[0], slot_f, live)
+
+
+def _gather_rows_bwd(dup_cap, saved, g):
+    n, slot_f, live = saved
+    K = dup_cap
+    p_pad = slot_f.shape[0]
+    # inverse map: pre-sort slot -> padded position (sentinel p_pad)
+    target = jnp.where(live > 0.5, slot_f.astype(jnp.int32), n * K)
+    inv = jnp.full((n * K + 1,), p_pad, jnp.int32).at[target].set(
+        jnp.arange(p_pad, dtype=jnp.int32), mode="drop",
+        unique_indices=True)[: n * K]
+    g_pad = jnp.concatenate([g, jnp.zeros((1, g.shape[1]), g.dtype)])
+    contrib = g_pad[inv]                                    # (n*K, 16)
+    dstacked = contrib.reshape(n, K, g.shape[1]).sum(axis=1)
+    return (dstacked, jnp.zeros_like(slot_f), jnp.zeros_like(slot_f),
+            jnp.zeros_like(live))
+
+
+_gather_rows.defvjp(_gather_rows_fwd, _gather_rows_bwd)
+
+
+@jax.custom_vjp
+def take_rows_unique(stacked, idx_f):
+    """Row gather with UNIQUE indices whose backward is also a gather.
+
+    AD would emit a row scatter for the backward (measured 45 ms for
+    400k x 16 rows into 2M on TPU, even with unique indices); inverting
+    the permutation with one scalar int scatter turns it into a 17 ms
+    row gather instead.  idx travels as f32 (exact below 2^24).
+    """
+    n = stacked.shape[0]
+    return stacked[jnp.clip(idx_f.astype(jnp.int32), 0, n - 1)]
+
+
+def _take_rows_fwd(stacked, idx_f):
+    return take_rows_unique(stacked, idx_f), (stacked.shape[0], idx_f)
+
+
+def _take_rows_bwd(saved, g):
+    n, idx_f = saved
+    cap = idx_f.shape[0]
+    idx = jnp.clip(idx_f.astype(jnp.int32), 0, n - 1)
+    inv = jnp.full((n,), cap, jnp.int32).at[idx].set(
+        jnp.arange(cap, dtype=jnp.int32), mode="drop", unique_indices=True)
+    g_pad = jnp.concatenate([g, jnp.zeros((1, g.shape[1]), g.dtype)])
+    return g_pad[inv], jnp.zeros_like(idx_f)
+
+
+take_rows_unique.defvjp(_take_rows_fwd, _take_rows_bwd)
+
+
+def stack_rows(mean2d, conic, opacity, color, extra=None):
+    """Per-Gaussian properties as contiguous (N, 16) rows.
+
+    Rows 0..8 are the kernel's inputs, row 9 a live placeholder; rows
+    10..15 may hold extras (e.g. depth/radius for binning) — the kernel
+    ignores them."""
     n = mean2d.shape[0]
-    idx = jnp.clip(seg.gauss_index, 0, n - 1)
-    # ONE contiguous row-gather instead of 10 strided 1D gathers
-    # (measured 500 ms -> the row form is a plain memory-bound copy)
-    stacked = jnp.concatenate([
-        mean2d, conic, opacity.reshape(n, 1), color,
-        jnp.ones((n, 1), jnp.float32),
-        jnp.zeros((n, PROPW - 10), jnp.float32)], axis=1)   # (N, 16)
-    props = stacked[idx] * seg.live[:, None]                # (P_pad, 16)
+    cols = [mean2d, conic, opacity.reshape(n, 1), color,
+            jnp.ones((n, 1), jnp.float32)]
+    width = 10
+    if extra is not None:
+        cols.append(extra)
+        width += extra.shape[1]
+    cols.append(jnp.zeros((n, PROPW - width), jnp.float32))
+    return jnp.concatenate(cols, axis=1)
+
+
+def pack_stacked(stacked, seg: PaddedSegments, dup_cap: int):
+    """(N, 16) rows -> (16, P_pad+CHUNK) property-major pallas input."""
+    props = _gather_rows(stacked, seg.gauss_index.astype(jnp.float32),
+                         seg.pair_slot.astype(jnp.float32), seg.live,
+                         dup_cap)                           # (P_pad, 16)
     # tail margin so the last chunk's DMA stays in bounds
     return jnp.pad(props.T, ((0, 0), (0, CHUNK)))
+
+
+def pack_props(mean2d, conic, opacity, color, seg: PaddedSegments,
+               dup_cap: int):
+    """Convenience wrapper: stack_rows + pack_stacked."""
+    return pack_stacked(stack_rows(mean2d, conic, opacity, color), seg,
+                        dup_cap)
 
 
 def _pixel_coords(ty, tx):
@@ -418,7 +511,8 @@ _composite_core.defvjp(_composite_core_fwd, _composite_core_bwd)
 
 
 def composite_pairs_pallas(mean2d, conic, opacity, color,
-                           seg: PaddedSegments, height: int, width: int,
+                           seg: PaddedSegments, dup_cap: int,
+                           height: int, width: int,
                            bg_color, interpret: bool = False):
     """Composite per-Gaussian properties through padded tile segments.
 
@@ -428,7 +522,23 @@ def composite_pairs_pallas(mean2d, conic, opacity, color,
     (H,W,1)).
     """
     tiles_y, tiles_x = _grids(height, width)
-    props = pack_props(mean2d, conic, opacity, color, seg)
+    props = pack_props(mean2d, conic, opacity, color, seg, dup_cap)
+    return _composite_from_props(props, seg, tiles_y, tiles_x, height,
+                                 width, bg_color, interpret)
+
+
+def composite_stacked_pallas(stacked, seg: PaddedSegments, dup_cap: int,
+                             height: int, width: int, bg_color,
+                             interpret: bool = False):
+    """Composite from pre-stacked (N, 16) rows (no re-concat)."""
+    tiles_y, tiles_x = _grids(height, width)
+    props = pack_stacked(stacked, seg, dup_cap)
+    return _composite_from_props(props, seg, tiles_y, tiles_x, height,
+                                 width, bg_color, interpret)
+
+
+def _composite_from_props(props, seg, tiles_y, tiles_x, height, width,
+                          bg_color, interpret):
     out = _composite_core(
         props, seg.tile_start.astype(jnp.float32),
         seg.tile_count.astype(jnp.float32), tiles_y, tiles_x, interpret)
