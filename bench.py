@@ -76,18 +76,27 @@ def main():
                                     args[5], *args[6:], res, res, bg, cfg)
         return jnp.sum(img) + jnp.sum(aux.transmittance)
 
-    step = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3, 4)))
+    grad = jax.grad(loss, argnums=(0, 1, 2, 3, 4))
 
-    # warmup / compile
-    out = step(*args[:5])
-    jax.block_until_ready(out)
+    # Timing protocol for the remote-TPU tunnel: repeated identical calls
+    # can be deduplicated and block_until_ready is unreliable, so iterate
+    # INSIDE one jit with a chained data dependency, force a host read,
+    # and difference two loop lengths to cancel the fixed RPC overhead.
+    @jax.jit
+    def run(xyz, q, scale, opacity, color, n):
+        def body(i, xyz):
+            g = grad(xyz, q, scale, opacity, color)
+            return xyz + 1e-30 * g[0]         # chain fwd+bwd into next iter
+        return jax.lax.fori_loop(0, n, body, xyz)
 
-    iters = 10
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = step(*args[:5])
-    jax.block_until_ready(out)
-    ms = (time.perf_counter() - t0) / iters * 1e3
+    n_small, n_big = 2, 10
+    times = {}
+    for n in (n_small, n_big):
+        _ = float(run(*args[:5], n)[0, 0])    # compile + warm
+        t0 = time.perf_counter()
+        _ = float(run(*args[:5], n)[0, 0])    # host read = real sync
+        times[n] = time.perf_counter() - t0
+    ms = (times[n_big] - times[n_small]) / (n_big - n_small) * 1e3
 
     baseline_ms = 40.0  # paper claim: ~25 FPS full pipeline, RTX 3090
     print(json.dumps({

@@ -26,6 +26,7 @@ from gps_gaussian_tpu.kernels.rasterizer import RasterizeConfig, rasterize
 from gps_gaussian_tpu.models.gps_gaussian import GPSGaussianModel
 from gps_gaussian_tpu.train import losses, sharding, state as state_lib
 from gps_gaussian_tpu.train.config import Config
+from gps_gaussian_tpu.utils.profiling import StepTimer, maybe_trace
 from gps_gaussian_tpu.utils.containers import (FlatGaussians, NovelView,
                                                StereoSample)
 
@@ -99,6 +100,32 @@ def make_eval_step(model: GPSGaussianModel, cfg: Config, stage: str,
                    rcfg: RasterizeConfig):
     bg = jnp.asarray(cfg.dataset.bg_color, jnp.float32)
 
+    def _stage1_preview(batch: StereoSample, flow_up):
+        """Point-splat the predicted geometry into the novel camera —
+        the reference's Taichi preview (train_stage1.py:99-100,
+        lib/TaichiRender.py), as a jnp scatter-max."""
+        from gps_gaussian_tpu.geometry.pointcloud import (
+            flow_to_inv_depth, inv_depth_to_points)
+        from gps_gaussian_tpu.kernels.point_splat import splat_points
+
+        bs = batch.lmain.img.shape[0]
+        pts, rgbs, valids = [], [], []
+        for i, view in enumerate((batch.lmain, batch.rmain)):
+            flow_v = flow_up[i * bs:(i + 1) * bs]
+            inv_d = flow_to_inv_depth(flow_v, view.intr, view.ref_intr,
+                                      view.tf_x, view.mask)
+            xyz = inv_depth_to_points(inv_d[..., 0], view.extr, view.intr)
+            pts.append(xyz.reshape(bs, -1, 3))
+            rgbs.append((view.img * 0.5 + 0.5).reshape(bs, -1, 3))
+            valids.append((inv_d[..., 0] != 0).astype(jnp.float32)
+                          .reshape(bs, -1))
+        h = batch.novel.camera.height
+        w = batch.novel.camera.width
+        return splat_points(
+            jnp.concatenate(pts, 1), jnp.concatenate(rgbs, 1),
+            jnp.concatenate(valids, 1), batch.novel.intr,
+            batch.novel.extr, h, w)
+
     def eval_step(params, batch: StereoSample):
         out = model.apply(params, batch, iters=cfg.raft.val_iters,
                           test_mode=True)
@@ -110,11 +137,13 @@ def make_eval_step(model: GPSGaussianModel, cfg: Config, stage: str,
             "val_epe": (epe * vm).sum() / denom,
             "val_1px": ((epe < 1).astype(jnp.float32) * vm).sum() / denom,
         }
-        img_pred = None
         if stage == "stage2":
             img_pred = render_novel(out, batch.novel, bg, rcfg)
             metrics["val_psnr"] = losses.psnr(img_pred,
                                               batch.novel.img).mean()
+        else:
+            img_pred = (_stage1_preview(batch, out.final_flow)
+                        if batch.novel is not None else None)
         return metrics, img_pred
 
     return eval_step
@@ -198,15 +227,35 @@ class Trainer:
     def _device_batch(self, batch: StereoSample) -> StereoSample:
         return sharding.shard_batch(self.mesh, batch)
 
-    def train(self, num_steps: Optional[int] = None):
+    def train(self, num_steps: Optional[int] = None,
+              trace_steps: Optional[tuple] = None,
+              trace_dir: Optional[str] = None):
+        """trace_steps=(lo, hi) captures a jax.profiler trace of that step
+        window into trace_dir (default <exp>/logs/profile)."""
         cfg = self.cfg
         total = num_steps or cfg.num_steps
         running: dict = {}
+        timer = StepTimer(cfg.batch_size)
         t0 = time.time()
         start_step = int(self.state.step)
+        tracing = False
         for step in range(start_step, total):
+            if trace_steps and step == trace_steps[0] and not tracing:
+                import jax as _jax
+
+                _jax.profiler.start_trace(
+                    trace_dir or str(self.exp_dir / "logs" / "profile"))
+                tracing = True
             batch = self._device_batch(next(self.train_loader))
+            timer.start()
             self.state, metrics = self.train_step(self.state, batch)
+            jax.block_until_ready(metrics)
+            timer.stop()
+            if tracing and step + 1 >= trace_steps[1]:
+                import jax as _jax
+
+                _jax.profiler.stop_trace()
+                tracing = False
 
             for k, v in metrics.items():
                 running[k] = running.get(k, 0.0) + float(v)
@@ -214,11 +263,15 @@ class Trainer:
                 n = cfg.record.loss_freq
                 msg = " ".join(f"{k}={v / n:.4f}"
                                for k, v in sorted(running.items()))
-                rate = n * cfg.batch_size / (time.time() - t0)
-                log.info("step %d: %s (%.2f pairs/s)", step + 1, msg, rate)
+                log.info("step %d: %s (%.2f pairs/s, %.1f ms/step)",
+                         step + 1, msg, timer.pairs_per_s, timer.step_ms)
                 if self.writer:
                     for k, v in running.items():
                         self.writer.add_scalar(k, v / n, step + 1)
+                    self.writer.add_scalar("perf/pairs_per_s",
+                                           timer.pairs_per_s, step + 1)
+                    self.writer.add_scalar("perf/step_ms", timer.step_ms,
+                                           step + 1)
                 running, t0 = {}, time.time()
                 state_lib.save_checkpoint(str(self.exp_dir / "ckpt"),
                                           self.state)
