@@ -87,6 +87,8 @@ class Config:
     restore_ckpt: Optional[str] = None
     stage1_ckpt: Optional[str] = None
     seed: int = 1314
+    remat: bool = False   # rematerialize the model fwd (HBM for FLOPs
+                          # at hi-res stage2; SURVEY.md §7 hard part 4)
     raft: RaftConfig = RaftConfig()
     gsnet: GsnetConfig = GsnetConfig()
     dataset: DataConfig = DataConfig()

@@ -71,8 +71,14 @@ def make_train_step(model: GPSGaussianModel, cfg: Config, stage: str,
                     rcfg: RasterizeConfig):
     bg = jnp.asarray(cfg.dataset.bg_color, jnp.float32)
 
+    def apply_model(params, batch):
+        return model.apply(params, batch, iters=cfg.raft.train_iters)
+
+    if cfg.remat:
+        apply_model = jax.checkpoint(apply_model)
+
     def loss_fn(params, batch: StereoSample):
-        out = model.apply(params, batch, iters=cfg.raft.train_iters)
+        out = apply_model(params, batch)
         flow_gt, valid = _stacked_flow_gt(batch)
         flow_loss, metrics = losses.sequence_loss(
             out.flow_preds, flow_gt, valid)
@@ -220,6 +226,26 @@ class Trainer:
             from tensorboardX import SummaryWriter
 
             self.writer = SummaryWriter(str(self.exp_dir / "logs"))
+        except Exception:
+            pass
+        self._snapshot_provenance()
+
+    def _snapshot_provenance(self):
+        """Record code provenance with the experiment (the reference's
+        file_backup, train_recoder.py:10-24, via git instead of copies)."""
+        import subprocess
+
+        prov = self.exp_dir / "provenance.txt"
+        try:
+            root = Path(__file__).resolve().parent.parent.parent
+            rev = subprocess.run(["git", "-C", str(root), "rev-parse",
+                                  "HEAD"], capture_output=True, text=True)
+            dirty = subprocess.run(["git", "-C", str(root), "status",
+                                    "--porcelain"], capture_output=True,
+                                   text=True)
+            with open(prov, "w") as f:
+                f.write(f"git: {rev.stdout.strip()}\n")
+                f.write(f"dirty files:\n{dirty.stdout}")
         except Exception:
             pass
 
