@@ -12,7 +12,6 @@ numpy fallback) — the TPU-era replacement of the taichi CUDA JIT renderer.
 
 from __future__ import annotations
 
-import os
 from pathlib import Path
 from typing import Optional
 

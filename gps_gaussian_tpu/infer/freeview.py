@@ -10,17 +10,16 @@ sweeps possible.
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from gps_gaussian_tpu.data.loader import collate
-from gps_gaussian_tpu.data.thuman import DatasetConfig, StereoHumanDataset
+from gps_gaussian_tpu.data.thuman import StereoHumanDataset
 from gps_gaussian_tpu.geometry import cameras
-from gps_gaussian_tpu.kernels.rasterizer import RasterizeConfig, rasterize
+from gps_gaussian_tpu.kernels.rasterizer import rasterize
 from gps_gaussian_tpu.train.config import Config
 from gps_gaussian_tpu.train.trainer import make_model, make_raster_config
 from gps_gaussian_tpu.utils.containers import (FlatGaussians, NovelCamera,

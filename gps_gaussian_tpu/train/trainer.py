@@ -10,7 +10,6 @@ raft.mixed_precision with f32 losses and optimizer.
 
 from __future__ import annotations
 
-import dataclasses
 import logging
 import time
 from pathlib import Path
@@ -26,9 +25,8 @@ from gps_gaussian_tpu.kernels.rasterizer import RasterizeConfig, rasterize
 from gps_gaussian_tpu.models.gps_gaussian import GPSGaussianModel
 from gps_gaussian_tpu.train import losses, sharding, state as state_lib
 from gps_gaussian_tpu.train.config import Config
-from gps_gaussian_tpu.utils.profiling import StepTimer, maybe_trace
-from gps_gaussian_tpu.utils.containers import (FlatGaussians, NovelView,
-                                               StereoSample)
+from gps_gaussian_tpu.utils.profiling import StepTimer
+from gps_gaussian_tpu.utils.containers import NovelView, StereoSample
 
 log = logging.getLogger("gps_tpu.train")
 

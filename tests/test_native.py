@@ -1,7 +1,6 @@
 """Native C++ kernels vs numpy oracles + mesh renderer geometry checks."""
 
 import numpy as np
-import pytest
 
 from gps_gaussian_tpu import native
 from gps_gaussian_tpu.geometry import stereo

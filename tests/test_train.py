@@ -1,11 +1,9 @@
 """End-to-end training smoke + behavior tests on the virtual CPU mesh."""
 
-import dataclasses
 import logging
 
 import numpy as np
 import jax
-import jax.numpy as jnp
 import pytest
 
 from gps_gaussian_tpu.data import synth
