@@ -98,12 +98,35 @@ def main():
         times[n] = time.perf_counter() - t0
     ms = (times[n_big] - times[n_small]) / (n_big - n_small) * 1e3
 
-    baseline_ms = 40.0  # paper claim: ~25 FPS full pipeline, RTX 3090
+    # forward-only (the inference-relevant half)
+    @jax.jit
+    def run_fwd(xyz, q, scale, opacity, color, n):
+        def body(i, xyz):
+            img, aux = rasterize_single(xyz, q, scale, opacity, color,
+                                        args[5], *args[6:], res, res, bg,
+                                        cfg)
+            return xyz + 1e-30 * img[0, 0, 0]
+        return jax.lax.fori_loop(0, n, body, xyz)
+
+    ftimes = {}
+    for n in (n_small, n_big):
+        _ = float(run_fwd(*args[:5], n)[0, 0])
+        t0 = time.perf_counter()
+        _ = float(run_fwd(*args[:5], n)[0, 0])
+        ftimes[n] = time.perf_counter() - t0
+    fwd_ms = (ftimes[n_big] - ftimes[n_small]) / (n_big - n_small) * 1e3
+
+    baseline_ms = 40.0  # paper claim: ~25 FPS full INFERENCE pipeline, 3090
     print(json.dumps({
         "metric": "splat_fwd_bwd_ms_per_frame_1024",
         "value": round(ms, 3),
         "unit": "ms",
+        # vs the only citable number: the paper's full-pipeline inference
+        # claim — note ours includes the BACKWARD pass; fwd_ms is the
+        # inference-comparable half
         "vs_baseline": round(baseline_ms / ms, 3),
+        "fwd_only_ms": round(fwd_ms, 3),
+        "fwd_vs_baseline": round(baseline_ms / fwd_ms, 3),
     }))
 
 

@@ -55,10 +55,13 @@ class DataConfig:
 @dataclasses.dataclass(frozen=True)
 class RasterConfig:
     """Static capacities of the tile rasterizer (no reference equivalent —
-    the CUDA rasterizer allocated dynamically; TPU shapes are static)."""
+    the CUDA rasterizer allocated dynamically; TPU shapes are static).
+    All caps report drops through RasterizeAux (never silent)."""
 
     max_tiles_per_gaussian: int = 16
     max_per_tile: int = 1024
+    fg_cap: Optional[int] = None       # foreground compaction before binning
+    pair_budget: Optional[int] = None  # cap on total sorted pairs
     backend: str = "auto"
 
 

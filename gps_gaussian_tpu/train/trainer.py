@@ -49,6 +49,8 @@ def make_raster_config(cfg: Config) -> RasterizeConfig:
     return RasterizeConfig(
         max_tiles_per_gaussian=cfg.raster.max_tiles_per_gaussian,
         max_per_tile=cfg.raster.max_per_tile,
+        fg_cap=cfg.raster.fg_cap,
+        pair_budget=cfg.raster.pair_budget,
         backend=cfg.raster.backend)
 
 
