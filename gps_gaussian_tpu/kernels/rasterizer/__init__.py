@@ -174,5 +174,12 @@ def rasterize(gaussians: FlatGaussians, camera: NovelCamera, bg_color,
             camera.height, camera.width, bg, cfg)
         return img
 
+    if gaussians.xyz.shape[0] == 1:
+        # batching the sort/scatter pipeline through vmap costs ~60 ms at
+        # 1024^2 even for batch 1 — take the unbatched path directly
+        img = one(jax.tree_util.tree_map(lambda x: x[0], gaussians),
+                  camera.view[0], camera.proj[0], camera.tanfovx[0],
+                  camera.tanfovy[0])
+        return img[None]
     return jax.vmap(one)(gaussians, camera.view, camera.proj,
                          camera.tanfovx, camera.tanfovy)

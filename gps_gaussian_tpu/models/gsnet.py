@@ -14,15 +14,20 @@ from typing import Optional, Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
+import jax
+
 from gps_gaussian_tpu.models.encoders import UnetExtractor
 from gps_gaussian_tpu.models.layers import Conv, ResidualBlock
-from gps_gaussian_tpu.ops.sampling import interpolate_bilinear
 
 
 def _up2(x):
-    """nn.Upsample(scale_factor=2, mode='bilinear') — align_corners=False."""
+    """nn.Upsample(scale_factor=2, mode='bilinear'), align_corners=False.
+
+    jax.image.resize('linear') uses the same half-pixel convention and
+    lowers to a dense conv-style kernel — far faster than a gather-based
+    sampler at full resolution."""
     b, h, w, c = x.shape
-    return interpolate_bilinear(x, h * 2, w * 2, align_corners=False)
+    return jax.image.resize(x, (b, h * 2, w * 2, c), method="linear")
 
 
 class GSRegresser(nn.Module):
