@@ -235,3 +235,46 @@ def test_foreground_compaction_preserves_image(rng):
         *args, RasterizeConfig(max_tiles_per_gaussian=16, max_per_tile=512,
                                fg_cap=32, backend="jnp"))
     assert int(aux2.num_fg_dropped) > 0
+
+
+def test_nonsquare_odd_sizes(rng):
+    """H/W not multiples of the 16px tile, non-square, both backends."""
+    h, w = 40, 56
+    K = np.array([[0.8 * w, 0, w / 2], [0, 0.8 * w, h / 2],
+                  [0, 0, 1]], np.float32)
+    E = np.eye(3, 4, dtype=np.float32)
+    E[2, 3] = 2.0
+    cam = cameras.camera_from_intr_extr(K, E, h, w)
+    xyz, q, scale, opacity, color, valid = _scene(rng, n=200)
+    args = (jnp.asarray(xyz), jnp.asarray(q), jnp.asarray(scale),
+            jnp.asarray(opacity), jnp.asarray(color), jnp.asarray(valid),
+            jnp.asarray(cam["view"]), jnp.asarray(cam["proj"]),
+            cam["tanfovx"], cam["tanfovy"], h, w,
+            jnp.asarray([0.1, 0.2, 0.3], jnp.float32))
+    cfg_j = RasterizeConfig(max_tiles_per_gaussian=16, max_per_tile=256,
+                            backend="jnp")
+    cfg_p = RasterizeConfig(max_tiles_per_gaussian=16, max_per_tile=256,
+                            backend="pallas", interpret=True)
+    img_j, _ = rasterize_single(*args, cfg_j)
+    img_p, _ = rasterize_single(*args, cfg_p)
+    assert img_j.shape == (h, w, 3)
+    np.testing.assert_allclose(np.asarray(img_p), np.asarray(img_j),
+                               atol=1e-5)
+    ref = rasterize_reference_single(*args[:12], args[12])
+    np.testing.assert_allclose(np.asarray(img_j), np.asarray(ref),
+                               atol=1e-4)
+
+    # grads agree between backends on the odd-size path too
+    w_img = jnp.asarray(rng.normal(size=(h, w, 3)), jnp.float32)
+
+    def loss(cfg):
+        def f(xyz):
+            img, _ = rasterize_single(xyz, *args[1:12], args[12], cfg)
+            return jnp.sum(img * w_img)
+        return f
+
+    gj = jax.grad(loss(cfg_j))(args[0])
+    gp = jax.grad(loss(cfg_p))(args[0])
+    s = np.abs(np.asarray(gj)).max() + 1e-8
+    np.testing.assert_allclose(np.asarray(gp) / s, np.asarray(gj) / s,
+                               atol=1e-5)
