@@ -43,9 +43,10 @@ class RasterizeConfig:
 
 
 class RasterizeAux(NamedTuple):
-    transmittance: jnp.ndarray   # (H, W, 1) final per-pixel T
-    num_dropped: jnp.ndarray     # () pairs lost to the duplication cap
-    num_fg_dropped: jnp.ndarray  # () gaussians lost to the fg_cap
+    transmittance: jnp.ndarray    # (H, W, 1) final per-pixel T
+    num_dropped: jnp.ndarray      # () pairs lost to the duplication cap
+    num_fg_dropped: jnp.ndarray   # () gaussians lost to the fg_cap
+    num_pair_dropped: jnp.ndarray # () pairs lost to max_per_tile/pair_budget
 
 
 def compact_foreground(projd, cap: int):
@@ -130,6 +131,8 @@ def rasterize_single(xyz, rot, scale, opacity, color, valid,
             stacked, seg, cfg.max_tiles_per_gaussian,
             height, width, jnp.asarray(bg_color, jnp.float32),
             interpret=cfg.interpret)
+        num_pair_dropped = (jnp.sum(bins.tile_count)
+                            - jnp.sum(seg.tile_count))
     else:
         if cfg.fg_cap is not None:
             projd, num_fg_dropped = compact_foreground(projd, cfg.fg_cap)
@@ -143,9 +146,12 @@ def rasterize_single(xyz, rot, scale, opacity, color, valid,
             projd.color[idx], live_s, bins.tile_start, bins.tile_count,
             height, width, jnp.asarray(bg_color, jnp.float32),
             tile=cfg.tile, max_per_tile=cfg.max_per_tile)
+        num_pair_dropped = jnp.sum(
+            jnp.maximum(bins.tile_count - cfg.max_per_tile, 0))
     return img, RasterizeAux(transmittance=trans,
                              num_dropped=bins.num_dropped,
-                             num_fg_dropped=num_fg_dropped)
+                             num_fg_dropped=num_fg_dropped,
+                             num_pair_dropped=num_pair_dropped)
 
 
 def rasterize_reference_single(xyz, rot, scale, opacity, color, valid,

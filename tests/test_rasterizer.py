@@ -278,3 +278,30 @@ def test_nonsquare_odd_sizes(rng):
     s = np.abs(np.asarray(gj)).max() + 1e-8
     np.testing.assert_allclose(np.asarray(gp) / s, np.asarray(gj) / s,
                                atol=1e-5)
+
+
+def test_pair_budget_truncation_is_counted(rng):
+    cam = _camera()
+    xyz, q, scale, opacity, color, valid = _scene(rng, n=300)
+    args = (jnp.asarray(xyz), jnp.asarray(q), jnp.asarray(scale),
+            jnp.asarray(opacity), jnp.asarray(color), jnp.asarray(valid),
+            jnp.asarray(cam["view"]), jnp.asarray(cam["proj"]),
+            cam["tanfovx"], cam["tanfovy"], RES, RES,
+            np.zeros(3, np.float32))
+    full = RasterizeConfig(max_tiles_per_gaussian=16, max_per_tile=512,
+                           backend="pallas", interpret=True)
+    img_full, aux_full = rasterize_single(*args, full)
+    assert int(aux_full.num_pair_dropped) == 0
+
+    tight = RasterizeConfig(max_tiles_per_gaussian=16, max_per_tile=512,
+                            pair_budget=128, backend="pallas",
+                            interpret=True)
+    img_t, aux_t = rasterize_single(*args, tight)
+    assert int(aux_t.num_pair_dropped) > 0
+    assert np.isfinite(np.asarray(img_t)).all()
+
+    # jnp path: max_per_tile truncation is counted too
+    tight_j = RasterizeConfig(max_tiles_per_gaussian=16, max_per_tile=4,
+                              backend="jnp")
+    _, aux_j = rasterize_single(*args, tight_j)
+    assert int(aux_j.num_pair_dropped) > 0
