@@ -50,7 +50,7 @@ def main():
         return out.lmain_gs.flatten().concat(out.rmain_gs.flatten())
 
     def render(gauss):
-        return rasterize(gauss, batch.novel.camera, jnp.zeros(3), rcfg)
+        return rasterize(gauss, batch.novel.camera, jnp.zeros(3), rcfg)[0]
 
     # tunnel-safe two-point chained loops (see bench.py); a traced loop
     # bound keeps it to ONE compile per benchmark

@@ -19,7 +19,8 @@ def main():
     ap.add_argument("--res", type=int, default=512)
     ap.add_argument("--batch", type=int, default=2)
     ap.add_argument("--iters", type=int, default=10)
-    ap.add_argument("--bf16", action="store_true", default=True)
+    ap.add_argument("--bf16", action=argparse.BooleanOptionalAction,
+                    default=True)
     args = ap.parse_args()
 
     import jax

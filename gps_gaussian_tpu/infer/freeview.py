@@ -52,11 +52,21 @@ class FreeviewRenderer:
         return self._forward(batch)
 
     def render(self, gauss: FlatGaussians, camera: NovelCamera):
+        """Returns (images (1,H,W,3), RasterizeAux with drop counters)."""
         key = (camera.height, camera.width)
         if key not in self._render:
             self._render[key] = jax.jit(
                 lambda g, c: rasterize(g, c, self.bg, self.rcfg))
-        return self._render[key](gauss, camera)
+        img, aux = self._render[key](gauss, camera)
+        drops = int(aux.num_dropped.sum() + aux.num_fg_dropped.sum()
+                    + aux.num_pair_dropped.sum())
+        if drops:
+            import logging
+
+            logging.getLogger("gps_tpu.infer").warning(
+                "rasterizer capacity caps dropped %d pairs this frame "
+                "(raise fg_cap/max_per_tile/pair_budget)", drops)
+        return img, aux
 
     # ------------------------------------------------------------ drivers
     def novel_camera_at(self, sample: dict, ratio: float,
@@ -86,7 +96,7 @@ class FreeviewRenderer:
         for i in range(n_views):
             ratio = (i + 0.5) / n_views
             cam = self.novel_camera_at(sample, ratio, out_res, out_res)
-            img = self.render(gauss, cam)
+            img, _ = self.render(gauss, cam)
             images.append(np.clip(np.asarray(img[0]), 0, 1))
         return images
 
@@ -101,7 +111,7 @@ class FreeviewRenderer:
             batch = collate([sample])
             gauss = self.gaussians(batch)
             cam = self.novel_camera_at(sample, ratio, out_res, out_res)
-            img = self.render(gauss, cam)
+            img, _ = self.render(gauss, cam)
             yield sample["name"], np.clip(np.asarray(img[0]), 0, 1)
 
 

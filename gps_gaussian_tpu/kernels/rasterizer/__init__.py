@@ -165,8 +165,12 @@ def rasterize_reference_single(xyz, rot, scale, opacity, color, valid,
 
 
 def rasterize(gaussians: FlatGaussians, camera: NovelCamera, bg_color,
-              cfg: RasterizeConfig = RasterizeConfig()) -> jnp.ndarray:
-    """Batched render: (B, N) Gaussians into (B,) cameras -> (B, H, W, 3).
+              cfg: RasterizeConfig = RasterizeConfig()):
+    """Batched render: (B, N) Gaussians into (B,) cameras.
+
+    Returns (images (B, H, W, 3), RasterizeAux with per-sample counters
+    (B,) and transmittance (B, H, W, 1)) — the capacity-cap guarantee
+    ("counted, never silent") surfaces here so trainers/eval can log drops.
 
     Capability of reference lib/GaussianRender.py pts2render, without the
     per-sample python loop: one vmapped program over the batch.
@@ -174,18 +178,17 @@ def rasterize(gaussians: FlatGaussians, camera: NovelCamera, bg_color,
     bg = jnp.asarray(bg_color, jnp.float32)
 
     def one(g: FlatGaussians, view, proj, tanfovx, tanfovy):
-        img, _ = rasterize_single(
+        return rasterize_single(
             g.xyz, g.rot, g.scale, g.opacity, g.rgb, g.valid,
             view, proj, tanfovx, tanfovy,
             camera.height, camera.width, bg, cfg)
-        return img
 
     if gaussians.xyz.shape[0] == 1:
         # batching the sort/scatter pipeline through vmap costs ~60 ms at
         # 1024^2 even for batch 1 — take the unbatched path directly
-        img = one(jax.tree_util.tree_map(lambda x: x[0], gaussians),
-                  camera.view[0], camera.proj[0], camera.tanfovx[0],
-                  camera.tanfovy[0])
-        return img[None]
+        img, aux = one(jax.tree_util.tree_map(lambda x: x[0], gaussians),
+                       camera.view[0], camera.proj[0], camera.tanfovx[0],
+                       camera.tanfovy[0])
+        return img[None], jax.tree_util.tree_map(lambda x: x[None], aux)
     return jax.vmap(one)(gaussians, camera.view, camera.proj,
                          camera.tanfovx, camera.tanfovy)

@@ -56,9 +56,23 @@ def make_raster_config(cfg: Config) -> RasterizeConfig:
 
 def render_novel(out, novel: NovelView, bg_color, rcfg: RasterizeConfig):
     """Splat both views' pixel-aligned Gaussians into the novel camera
-    (capability of lib/GaussianRender.py pts2render, batched not looped)."""
+    (capability of lib/GaussianRender.py pts2render, batched not looped).
+
+    Returns (images, RasterizeAux) so callers can log the drop counters —
+    static caps are counted, never silent."""
     gauss = out.lmain_gs.flatten().concat(out.rmain_gs.flatten())
     return rasterize(gauss, novel.camera, jnp.asarray(bg_color), rcfg)
+
+
+def drop_metrics(aux, prefix: str = "") -> dict:
+    """Batch-summed capacity-cap drop counters as float metrics."""
+    return {
+        f"{prefix}num_dropped": jnp.sum(aux.num_dropped).astype(jnp.float32),
+        f"{prefix}num_fg_dropped":
+            jnp.sum(aux.num_fg_dropped).astype(jnp.float32),
+        f"{prefix}num_pair_dropped":
+            jnp.sum(aux.num_pair_dropped).astype(jnp.float32),
+    }
 
 
 def _stacked_flow_gt(batch: StereoSample):
@@ -84,12 +98,13 @@ def make_train_step(model: GPSGaussianModel, cfg: Config, stage: str,
             out.flow_preds, flow_gt, valid)
         if stage == "stage1":
             return flow_loss, metrics
-        img_pred = render_novel(out, batch.novel, bg, rcfg)
+        img_pred, raux = render_novel(out, batch.novel, bg, rcfg)
         img_gt = batch.novel.img
         l1 = losses.l1_loss(img_pred, img_gt)
         ssim_val = losses.ssim(img_pred, img_gt)
         total = 1.0 * flow_loss + 0.8 * l1 + 0.2 * (1.0 - ssim_val)
-        metrics = dict(metrics, l1=l1, ssim=ssim_val, flow_loss=flow_loss)
+        metrics = dict(metrics, l1=l1, ssim=ssim_val, flow_loss=flow_loss,
+                       **drop_metrics(raux))
         return total, metrics
 
     def train_step(state: state_lib.TrainState, batch: StereoSample):
@@ -144,9 +159,10 @@ def make_eval_step(model: GPSGaussianModel, cfg: Config, stage: str,
             "val_1px": ((epe < 1).astype(jnp.float32) * vm).sum() / denom,
         }
         if stage == "stage2":
-            img_pred = render_novel(out, batch.novel, bg, rcfg)
+            img_pred, raux = render_novel(out, batch.novel, bg, rcfg)
             metrics["val_psnr"] = losses.psnr(img_pred,
                                               batch.novel.img).mean()
+            metrics.update(drop_metrics(raux, prefix="val_"))
         else:
             img_pred = (_stage1_preview(batch, out.final_flow)
                         if batch.novel is not None else None)
@@ -181,9 +197,7 @@ class Trainer:
         self.train_ds = dataset or StereoHumanDataset(ds_cfg, "train")
         self.val_ds = val_dataset or StereoHumanDataset(ds_cfg, "val")
 
-        novel_train = (tuple(cfg.dataset.train_novel_id)
-                       if self.stage == "stage2" else
-                       tuple(cfg.dataset.train_novel_id))
+        novel_train = tuple(cfg.dataset.train_novel_id)
         self.train_loader = BatchLoader(
             self.train_ds, cfg.batch_size, novel_train, seed=cfg.seed,
             process_index=jax.process_index(),

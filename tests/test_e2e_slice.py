@@ -18,7 +18,10 @@ from gps_gaussian_tpu.train.trainer import (make_model, make_raster_config,
 def test_e2e_256_fwd_bwd():
     cfg = load_config(
         None,
-        raster=dict(max_tiles_per_gaussian=8, max_per_tile=256,
+        # caps sized for the random-init scene (untrained nets emit some
+        # near-camera points with large splats); the zero-drop asserts below
+        # prove the counters verify cap adequacy end-to-end
+        raster=dict(max_tiles_per_gaussian=256, max_per_tile=2048,
                     backend="jnp"))
     batch = fake_stereo_batch(batch=1, res=256, novel_res=256, seed=2)
     model = make_model(cfg, with_gs=True)
@@ -27,11 +30,16 @@ def test_e2e_256_fwd_bwd():
 
     def loss_fn(params):
         out = model.apply(params, batch, iters=1)
-        img = render_novel(out, batch.novel, jnp.zeros(3), rcfg)
-        return l1_loss(img, batch.novel.img)
+        img, aux = render_novel(out, batch.novel, jnp.zeros(3), rcfg)
+        return l1_loss(img, batch.novel.img), aux
 
-    loss, grads = jax.jit(jax.value_and_grad(loss_fn))(params)
+    (loss, aux), grads = jax.jit(
+        jax.value_and_grad(loss_fn, has_aux=True))(params)
     assert np.isfinite(float(loss))
+    # default caps must not truncate the slice scene: counted, never silent
+    assert int(aux.num_dropped.sum()) == 0
+    assert int(aux.num_fg_dropped.sum()) == 0
+    assert int(aux.num_pair_dropped.sum()) == 0
     leaves = jax.tree_util.tree_leaves(grads)
     assert all(np.isfinite(np.asarray(g)).all() for g in leaves)
     # gradient reaches every parameter group (encoder, raft, gsnet)
