@@ -36,7 +36,6 @@ def main():
 
     from gps_gaussian_tpu.geometry import cameras
     from gps_gaussian_tpu.kernels.rasterizer import RasterizeConfig
-    from gps_gaussian_tpu.kernels.rasterizer import binning as B
     from gps_gaussian_tpu.kernels.rasterizer import pallas_kernel as PK
     from gps_gaussian_tpu.kernels.rasterizer import preprocess as PP
 
@@ -63,11 +62,13 @@ def main():
         return PP.project_gaussians(xyz, q, scale, opacity, color, valid,
                                     view, proj, tfx, tfy, res, res)
 
+    tiles_y, tiles_x = PK._grids(res, res)
+    num_tiles = tiles_y * tiles_x
+
     def stack_and_compact(projd):
         n = projd.depth.shape[0]
-        stacked = PK.stack_rows(
-            projd.mean2d, projd.conic, projd.opacity, projd.color,
-            extra=jnp.stack([projd.depth, projd.radius], axis=1))
+        stacked = PK.stack_rows(projd.mean2d, projd.conic, projd.opacity,
+                                projd.color, projd.depth, projd.radius)
         live = projd.radius > 0.0
         order = jnp.argsort(jnp.logical_not(live))
         idx_map = order[: cfg.fg_cap]
@@ -77,27 +78,33 @@ def main():
                      < n_kept).astype(jnp.float32)
         stacked = PK.take_rows_unique(stacked, idx_map.astype(jnp.float32))
         stacked = jnp.concatenate(
-            [stacked[:, :11], stacked[:, 11:12] * slot_live[:, None],
-             stacked[:, 12:]], axis=1)
+            [stacked[:, :10], stacked[:, 10:11] * slot_live[:, None],
+             stacked[:, 11:]], axis=1)
         return stacked
 
-    def bin_stage(stacked):
-        return B.bin_gaussians(stacked[:, 0:2], stacked[:, 10],
-                               stacked[:, 11], res, res, cfg.tile,
-                               cfg.max_tiles_per_gaussian)
+    def sort_stage(stacked):
+        n = stacked.shape[0]
+        K = cfg.max_tiles_per_gaussian
+        x_min, y_min, span_x, total, _, _ = PK.tile_rects(
+            stacked[:, 0:2], stacked[:, 10], tiles_y, tiles_x, PK.TILE, K)
+        k = jnp.arange(K, dtype=jnp.int32)
+        span_x_safe = jnp.maximum(span_x, 1)[:, None]
+        dxk = k[None, :] % span_x_safe
+        dyk = k[None, :] // span_x_safe
+        pair_live = k[None, :] < total[:, None]
+        tile_id = (y_min[:, None] + dyk) * tiles_x + (x_min[:, None] + dxk)
+        tile_id = jnp.where(pair_live, tile_id, num_tiles)
+        p_chunks = -(-min(cfg.pair_budget, n * K) // PK.CHUNK)
+        depth_b = jnp.broadcast_to(stacked[:, 9][:, None],
+                                   (n, K)).reshape(-1)
+        return PK._pair_sort(stacked,
+                             tile_id.reshape(-1).astype(jnp.float32),
+                             depth_b, K, p_chunks, num_tiles,
+                             cfg.max_per_tile)
 
-    def pad_stage(bins):
-        return PK.pad_segments(bins.sorted_tile, bins.pair_slot,
-                               cfg.max_tiles_per_gaussian, bins.pair_valid,
-                               bins.tile_start, bins.tile_count,
-                               cfg.max_per_tile, cfg.pair_budget)
-
-    def pack_stage(stacked, seg):
-        return PK.pack_stacked(stacked, seg, cfg.max_tiles_per_gaussian)
-
-    def kernel_stage(props, seg):
-        return PK._composite_from_props(props, seg, res // 16, res // 16,
-                                        res, res, bg, False)
+    def kernel_stage(props3d, start_f, count_f):
+        return PK._composite_core(props3d, start_f, count_f,
+                                  tiles_y, tiles_x, False)
 
     stages = {}
 
@@ -111,32 +118,19 @@ def main():
         s = stack_and_compact(preprocess(*x5))
         return s[0, 0]
 
-    def upto_bin(x5):
+    def upto_sort(x5):
         s = stack_and_compact(preprocess(*x5))
-        b = bin_stage(s)
-        return s[0, 0] + b.tile_start[0].astype(jnp.float32)
-
-    def upto_pad(x5):
-        s = stack_and_compact(preprocess(*x5))
-        seg = pad_stage(bin_stage(s))
-        return s[0, 0] + seg.tile_start[0].astype(jnp.float32)
-
-    def upto_pack(x5):
-        s = stack_and_compact(preprocess(*x5))
-        seg = pad_stage(bin_stage(s))
-        props = pack_stage(s, seg)
-        return props[0, 0] + seg.tile_start[0].astype(jnp.float32)
+        props3d, start_f, count_f = sort_stage(s)
+        return props3d[0, 0, 0] + start_f[0] + count_f[0]
 
     def upto_kernel(x5):
         s = stack_and_compact(preprocess(*x5))
-        seg = pad_stage(bin_stage(s))
-        props = pack_stage(s, seg)
-        img, tr = kernel_stage(props, seg)
-        return img[0, 0, 0] + tr[0, 0, 0]
+        props3d, start_f, count_f = sort_stage(s)
+        out = kernel_stage(props3d, start_f, count_f)
+        return out[0, 0, 0] + out[0, 0, 3]
 
     fwd_stages = [("preprocess", upto_preprocess), ("stack", upto_stack),
-                  ("bin", upto_bin), ("pad", upto_pad), ("pack", upto_pack),
-                  ("kernel", upto_kernel)]
+                  ("sort", upto_sort), ("kernel", upto_kernel)]
 
     x5 = (xyz, q, scale, opacity, color)
     prev = 0.0
@@ -151,16 +145,14 @@ def main():
     # kernel (glue-only AD) ----
     def loss_full(*x5):
         s = stack_and_compact(preprocess(*x5))
-        seg = pad_stage(bin_stage(s))
-        props = pack_stage(s, seg)
-        img, tr = kernel_stage(props, seg)
-        return jnp.sum(img) + jnp.sum(tr)
+        props3d, start_f, count_f = sort_stage(s)
+        out = kernel_stage(props3d, start_f, count_f)
+        return jnp.sum(out)
 
     def loss_to_props(*x5):
         s = stack_and_compact(preprocess(*x5))
-        seg = pad_stage(bin_stage(s))
-        props = pack_stage(s, seg)
-        return jnp.sum(props)
+        props3d, start_f, count_f = sort_stage(s)
+        return jnp.sum(props3d)
 
     def loss_to_stack(*x5):
         s = stack_and_compact(preprocess(*x5))

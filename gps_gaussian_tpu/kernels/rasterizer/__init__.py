@@ -96,19 +96,18 @@ def rasterize_single(xyz, rot, scale, opacity, color, valid,
     backend = cfg.resolve_backend()
     if backend == "pallas":
         from gps_gaussian_tpu.kernels.rasterizer.pallas_kernel import (
-            composite_stacked_pallas, pad_segments, stack_rows,
-            take_rows_unique)
+            render_sorted, stack_rows, take_rows_unique)
         # fused row layout: one gather moves ALL per-Gaussian properties
-        # through compaction (depth/radius ride rows 10-11 for binning)
+        # through compaction (depth/radius ride cols 9-10 for binning)
         n = projd.depth.shape[0]
-        stacked = stack_rows(
-            projd.mean2d, projd.conic, projd.opacity, projd.color,
-            extra=jnp.stack([projd.depth, projd.radius], axis=1))
-        if cfg.fg_cap is not None:
+        stacked = stack_rows(projd.mean2d, projd.conic, projd.opacity,
+                             projd.color, projd.depth, projd.radius)
+        # compaction only ever shrinks: when fg_cap >= n there is nothing to
+        # drop, and padding `order` would duplicate index 0, breaking
+        # take_rows_unique's unique-index inverse-permutation backward
+        if cfg.fg_cap is not None and cfg.fg_cap < n:
             live = projd.radius > 0.0
             order = jnp.argsort(jnp.logical_not(live))
-            if n < cfg.fg_cap:
-                order = jnp.pad(order, (0, cfg.fg_cap - n))
             idx_map = order[: cfg.fg_cap]
             n_live = jnp.sum(live.astype(jnp.int32))
             n_kept = jnp.minimum(n_live, cfg.fg_cap)
@@ -118,21 +117,16 @@ def rasterize_single(xyz, rot, scale, opacity, color, valid,
             stacked = take_rows_unique(stacked,
                                        idx_map.astype(jnp.float32))
             stacked = jnp.concatenate(
-                [stacked[:, :11], stacked[:, 11:12] * slot_live[:, None],
-                 stacked[:, 12:]], axis=1)
-        bins = bin_gaussians(stacked[:, 0:2], stacked[:, 10],
-                             stacked[:, 11], height, width, cfg.tile,
-                             cfg.max_tiles_per_gaussian)
-        seg = pad_segments(bins.sorted_tile, bins.pair_slot,
-                           cfg.max_tiles_per_gaussian,
-                           bins.pair_valid, bins.tile_start, bins.tile_count,
-                           cfg.max_per_tile, cfg.pair_budget)
-        img, trans = composite_stacked_pallas(
-            stacked, seg, cfg.max_tiles_per_gaussian,
-            height, width, jnp.asarray(bg_color, jnp.float32),
-            interpret=cfg.interpret)
-        num_pair_dropped = (jnp.sum(bins.tile_count)
-                            - jnp.sum(seg.tile_count))
+                [stacked[:, :10], stacked[:, 10:11] * slot_live[:, None],
+                 stacked[:, 11:]], axis=1)
+        img, trans, num_dropped, num_pair_dropped = render_sorted(
+            stacked, height, width, cfg.max_tiles_per_gaussian,
+            cfg.max_per_tile, cfg.pair_budget,
+            jnp.asarray(bg_color, jnp.float32), interpret=cfg.interpret)
+        return img, RasterizeAux(transmittance=trans,
+                                 num_dropped=num_dropped,
+                                 num_fg_dropped=num_fg_dropped,
+                                 num_pair_dropped=num_pair_dropped)
     else:
         if cfg.fg_cap is not None:
             projd, num_fg_dropped = compact_foreground(projd, cfg.fg_cap)

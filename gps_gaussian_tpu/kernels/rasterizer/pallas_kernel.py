@@ -3,33 +3,45 @@
 Replaces the per-tile compositing loops of the reference's external CUDA
 rasterizer (SURVEY.md §2.3 N1) with a TPU-native formulation:
 
-* binned pairs are repacked PROPERTY-MAJOR into a (16, P) f32 array whose
-  tile segments start at 128-pair boundaries, so every chunked DMA slice is
-  lane-aligned (Mosaic requires 128-lane alignment on manual HBM slices);
-* each tile's depth-sorted segment is streamed in double-buffered chunks of
-  128 pairs; compute layout is pixels-on-sublanes (256) x pairs-on-lanes
-  (128) — no transposes anywhere;
+* per-pair properties are carried THROUGH the binning sort as extra
+  `lax.sort` operands (measured nearly free on TPU) instead of being
+  gathered afterwards — the round-1 row-gather pack stage (44 ms fwd /
+  ~90 ms bwd at production sizes) disappears entirely;
+* sorted pairs are laid out chunk-major as (num_chunks, 16, 128): every
+  streamed DMA is a contiguous 8 KB (or 32 KB batched) block, no strided
+  slices and no lane-alignment games;
+* tile segments are NOT padded to chunk boundaries; the kernel masks the
+  head/tail of the first/last chunk by pair position.  Empty tiles are
+  skipped outright;
 * front-to-back transmittance is an exclusive cumulative sum of log(1-alpha)
-  along the pair axis, computed as a triangular-matrix matmul on the MXU
-  (fully parallel over pixels — no sequential walk, no atomics);
+  along the pair axis, computed as a 7-step Hillis-Steele lane scan on the
+  VPU in exact f32 (fully parallel over pixels — no sequential walk, no
+  atomics, and no MXU pass per chunk).  Because accumulated transmittance
+  is monotone non-increasing, the "first violation" test needs no
+  cumulative count: violations form a suffix, so a pair blends iff it does
+  not itself cross T_EPS;
 * the backward kernel re-walks the same chunks computing analytic gradients
   (suffix contributions via inclusive cumsums) and writes per-PAIR gradient
-  rows; each pair belongs to exactly one tile, so the only cross-pair
-  reduction is the per-Gaussian scatter-add that JAX AD emits for the
-  pack_props gathers (deterministic, no atomics).
+  rows to a chunk-major buffer.  Chunks shared between adjacent tile
+  segments are merged read-modify-write: the TPU grid is sequential, so the
+  one boundary chunk per tile can be read back, accumulated, and rewritten
+  without races;
+* the backward's pair gradients return to per-Gaussian layout by a second
+  `lax.sort` keyed on the unique pre-sort slot id (a full permutation, so
+  sorting by slot IS the inverse permutation) followed by a dense
+  reshape-sum over the duplication axis — no scatters anywhere.
 
-Only the pallas composite carries a custom VJP; packing (gather) and
-unpacking stay ordinary differentiable jnp.
+Only the pallas composite carries a custom VJP; the pair sort carries its
+own custom VJP (the unsort described above).
 
-Property rows of the (16, P) array:
+Property rows of the chunk-major array:
   0 mx, 1 my, 2 conic_a, 3 conic_b, 4 conic_c, 5 opacity,
-  6..8 rgb, 9 live, 10..15 padding.  Gradient rows mirror slots 0..8.
+  6..8 rgb, 9..15 zero padding.  Gradient rows mirror slots 0..8.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -40,115 +52,14 @@ from jax.experimental.pallas import tpu as pltpu
 from gps_gaussian_tpu.kernels.rasterizer.reference import (ALPHA_MAX,
                                                            ALPHA_MIN, T_EPS)
 
-CHUNK = 128          # pairs per streamed chunk (= lane width)
+CHUNK = 128          # pairs per compute chunk (= lane width)
+DCH = 4              # chunks per DMA step (batched streaming)
+STEP = CHUNK * DCH   # pairs per DMA step
 PROPW = 16           # packed property rows
+NPROP = 9            # live property rows (mx my ca cb cc op r g b)
 TILE = 16            # pixels per tile side
 PIX = TILE * TILE    # 256 pixel sublanes
 OUTC = 4             # output channels per tile pixel: r, g, b, transmittance
-
-
-class PaddedSegments(NamedTuple):
-    """Pair layout whose tile segments start at CHUNK-aligned offsets."""
-
-    gauss_index: jnp.ndarray   # (P_pad,) i32 source Gaussian per slot
-    pair_slot: jnp.ndarray     # (P_pad,) i32 unique pre-sort id g*K + k
-    live: jnp.ndarray          # (P_pad,) f32 {0,1}
-    tile_start: jnp.ndarray    # (T,) i32, every entry a multiple of CHUNK
-    tile_count: jnp.ndarray    # (T,) i32 (capped at max_per_tile)
-
-
-def pad_segments(sorted_tile: jnp.ndarray, sorted_slot: jnp.ndarray,
-                 dup_cap: int, pair_valid: jnp.ndarray,
-                 tile_start: jnp.ndarray, tile_count: jnp.ndarray,
-                 max_per_tile: int,
-                 pair_budget: int | None = None) -> PaddedSegments:
-    """Re-index sorted pairs so each tile's segment is CHUNK-aligned.
-
-    pair_budget bounds the number of REAL (valid) sorted pairs processed —
-    invalid pairs sort behind the sentinel tile id, so the real ones are a
-    contiguous prefix and a static slice is exact (overflow tiles are
-    truncated at their far end, like the max_per_tile cap).
-    """
-    num_tiles = tile_start.shape[0]
-    p_total = sorted_tile.shape[0]
-    if pair_budget is not None and pair_budget < p_total:
-        sorted_slot = sorted_slot[:pair_budget]
-        p_total = pair_budget
-        tile_start = jnp.minimum(tile_start, p_total)
-        tile_count = jnp.minimum(tile_count, p_total - tile_start)
-    count = jnp.minimum(tile_count, max_per_tile)
-    padded = ((count + CHUNK - 1) // CHUNK) * CHUNK
-    cum = jnp.cumsum(padded).astype(jnp.int32)              # inclusive
-    pstart = jnp.concatenate([jnp.zeros((1,), jnp.int32), cum[:-1]])
-    # static worst case, rounded to a whole number of chunks
-    p_pad = ((p_total + CHUNK - 1) // CHUNK + num_tiles) * CHUNK
-
-    # gather-only inverse mapping, computed PER CHUNK then broadcast:
-    # every segment start is CHUNK-aligned, so all 128 slots of a chunk
-    # share one tile.  This cuts the binary-search query count by 128x
-    # (3.9M-query searchsorted measured 340 ms; 30k-query is 5 ms).
-    # NOTE pair_valid is intentionally unused: invalid pairs carry the
-    # sentinel tile id, sort to the very end, and are excluded by the
-    # segment counts — re-gathering the flag cost a pointless ~30 ms.
-    assert p_pad % CHUNK == 0
-    nch = p_pad // CHUNK
-    ch0 = jnp.arange(nch, dtype=jnp.int32) * CHUNK
-    tile_of = jnp.searchsorted(cum, ch0, side="right").astype(jnp.int32)
-    tile_cl = jnp.clip(tile_of, 0, num_tiles - 1)
-    lane = jnp.arange(CHUNK, dtype=jnp.int32)[None, :]
-    offset = (ch0 - pstart[tile_cl])[:, None] + lane        # (nch, CHUNK)
-    live_b = (tile_of[:, None] < num_tiles) & (offset < count[tile_cl][:, None])
-    src = jnp.clip(tile_start[tile_cl][:, None] + offset, 0, p_total - 1)
-
-    slot = jnp.where(
-        live_b, sorted_slot[src.reshape(-1)].reshape(nch, CHUNK), 0)
-    return PaddedSegments(gauss_index=(slot // dup_cap).reshape(-1),
-                          pair_slot=slot.reshape(-1),
-                          live=live_b.astype(jnp.float32).reshape(-1),
-                          tile_start=pstart, tile_count=count)
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def _gather_rows(stacked, gidx_f, slot_f, live, dup_cap):
-    """Row gather with a gather-based backward segment-sum.
-
-    JAX AD would emit a duplicate-index ROW scatter-add for the backward,
-    which is pathologically slow on TPU (measured 200 ms at production
-    sizes, vs 28 ms for the equivalent gathers).  Because every pair
-    carries a UNIQUE pre-sort slot id, the backward can instead be one
-    scalar int scatter (building the slot->position inverse map) plus a
-    dense row-gather + reshape-sum over the K duplicate axis.
-
-    gidx/slot travel as f32 so the cotangent structure stays all-float
-    (both are exact integers well below 2^24).
-    """
-    n = stacked.shape[0]
-    idx = jnp.clip(gidx_f.astype(jnp.int32), 0, n - 1)
-    return stacked[idx] * live[:, None]                     # (P_pad, 16)
-
-
-def _gather_rows_fwd(stacked, gidx_f, slot_f, live, dup_cap):
-    out = _gather_rows(stacked, gidx_f, slot_f, live, dup_cap)
-    return out, (stacked.shape[0], slot_f, live)
-
-
-def _gather_rows_bwd(dup_cap, saved, g):
-    n, slot_f, live = saved
-    K = dup_cap
-    p_pad = slot_f.shape[0]
-    # inverse map: pre-sort slot -> padded position (sentinel p_pad)
-    target = jnp.where(live > 0.5, slot_f.astype(jnp.int32), n * K)
-    inv = jnp.full((n * K + 1,), p_pad, jnp.int32).at[target].set(
-        jnp.arange(p_pad, dtype=jnp.int32), mode="drop",
-        unique_indices=True)[: n * K]
-    g_pad = jnp.concatenate([g, jnp.zeros((1, g.shape[1]), g.dtype)])
-    contrib = g_pad[inv]                                    # (n*K, 16)
-    dstacked = contrib.reshape(n, K, g.shape[1]).sum(axis=1)
-    return (dstacked, jnp.zeros_like(slot_f), jnp.zeros_like(slot_f),
-            jnp.zeros_like(live))
-
-
-_gather_rows.defvjp(_gather_rows_fwd, _gather_rows_bwd)
 
 
 @jax.custom_vjp
@@ -181,37 +92,138 @@ def _take_rows_bwd(saved, g):
 take_rows_unique.defvjp(_take_rows_fwd, _take_rows_bwd)
 
 
-def stack_rows(mean2d, conic, opacity, color, extra=None):
+def stack_rows(mean2d, conic, opacity, color, depth, radius):
     """Per-Gaussian properties as contiguous (N, 16) rows.
 
-    Rows 0..8 are the kernel's inputs, row 9 a live placeholder; rows
-    10..15 may hold extras (e.g. depth/radius for binning) — the kernel
-    ignores them."""
+    Columns 0..8 are the kernel's property rows; 9 = depth and 10 = radius
+    feed the binning sort (never the kernel); 11..15 pad to a sublane
+    multiple."""
     n = mean2d.shape[0]
-    cols = [mean2d, conic, opacity.reshape(n, 1), color,
-            jnp.ones((n, 1), jnp.float32)]
-    width = 10
-    if extra is not None:
-        cols.append(extra)
-        width += extra.shape[1]
-    cols.append(jnp.zeros((n, PROPW - width), jnp.float32))
-    return jnp.concatenate(cols, axis=1)
+    return jnp.concatenate([
+        mean2d, conic, opacity.reshape(n, 1), color,
+        depth.reshape(n, 1), radius.reshape(n, 1),
+        jnp.zeros((n, PROPW - 11), jnp.float32)], axis=1)
 
 
-def pack_stacked(stacked, seg: PaddedSegments, dup_cap: int):
-    """(N, 16) rows -> (16, P_pad+CHUNK) property-major pallas input."""
-    props = _gather_rows(stacked, seg.gauss_index.astype(jnp.float32),
-                         seg.pair_slot.astype(jnp.float32), seg.live,
-                         dup_cap)                           # (P_pad, 16)
-    # tail margin so the last chunk's DMA stays in bounds
-    return jnp.pad(props.T, ((0, 0), (0, CHUNK)))
+# ---------------------------------------------------------------------------
+# pair sort: duplicate into tiles, sort by (tile, depth) carrying properties
+# ---------------------------------------------------------------------------
 
 
-def pack_props(mean2d, conic, opacity, color, seg: PaddedSegments,
-               dup_cap: int):
-    """Convenience wrapper: stack_rows + pack_stacked."""
-    return pack_stacked(stack_rows(mean2d, conic, opacity, color), seg,
-                        dup_cap)
+def tile_rects(mean2d, radius, tiles_y: int, tiles_x: int, tile: int,
+               max_tiles: int):
+    """CUDA getRect: exclusive-max tile rectangle per Gaussian, clamped.
+
+    Returns (x_min, y_min, span_x, span_y, total, num_dropped) where total
+    is the per-Gaussian live duplicate count (0 when culled) and
+    num_dropped counts pairs lost to the per-Gaussian duplication cap
+    (counted, never silent — SURVEY.md §7 hard part 2).
+    """
+    mean2d = lax.stop_gradient(mean2d)
+    radius = lax.stop_gradient(radius)
+    x_min = jnp.clip(jnp.floor((mean2d[:, 0] - radius) / tile), 0,
+                     tiles_x).astype(jnp.int32)
+    x_max = jnp.clip(jnp.floor((mean2d[:, 0] + radius + tile - 1) / tile),
+                     0, tiles_x).astype(jnp.int32)
+    y_min = jnp.clip(jnp.floor((mean2d[:, 1] - radius) / tile), 0,
+                     tiles_y).astype(jnp.int32)
+    y_max = jnp.clip(jnp.floor((mean2d[:, 1] + radius + tile - 1) / tile),
+                     0, tiles_y).astype(jnp.int32)
+    span_x = x_max - x_min
+    span_y = y_max - y_min
+    total = jnp.where(radius > 0.0, span_x * span_y, 0)
+    total_capped = jnp.minimum(total, max_tiles)
+    num_dropped = jnp.sum(total - total_capped)
+    return x_min, y_min, span_x, total_capped, total, num_dropped
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _pair_sort(stacked, tile_f, depth, K: int, p_chunks: int,
+               num_tiles: int, max_per_tile: int):
+    """Duplicate + sort pairs, returning chunk-major kernel input.
+
+    stacked: (C, 16) per-Gaussian rows; tile_f: (C*K,) f32 tile id per
+    duplicate (sentinel num_tiles for dead); depth: (C*K,) f32 sort key.
+
+    Returns (props3d (p_chunks+DCH, 16, 128), start_f (T,), count_f (T,)).
+    start/count travel as f32 (exact integers well below 2^24) so the
+    custom-vjp cotangent structure stays all-float.
+
+    The backward un-sorts pair gradients with a second sort keyed on the
+    unique pre-sort slot id (a full permutation of [0, C*K)), then
+    reduces the K duplicates per Gaussian with a dense reshape-sum.
+    """
+    out, _ = _pair_sort_impl(stacked, tile_f, depth, K, p_chunks,
+                             num_tiles, max_per_tile)
+    return out
+
+
+def _pair_sort_impl(stacked, tile_f, depth, K, p_chunks, num_tiles,
+                    max_per_tile):
+    n = stacked.shape[0]
+    nK = n * K
+    P = p_chunks * CHUNK
+    tile_i = lax.stop_gradient(tile_f).astype(jnp.int32)
+    depth = lax.stop_gradient(depth)
+    slot = jnp.arange(nK, dtype=jnp.int32)
+    ops = tuple(jnp.broadcast_to(stacked[:, c:c + 1], (n, K)).reshape(-1)
+                for c in range(NPROP))
+    sorted_ = lax.sort((tile_i, depth, slot) + ops, num_keys=2,
+                       is_stable=True)
+    tile_s, slot_s = sorted_[0], sorted_[2]
+    props_s = sorted_[3:]
+
+    bounds = jnp.searchsorted(
+        tile_s, jnp.arange(num_tiles + 1, dtype=jnp.int32),
+        side="left").astype(jnp.int32)
+    start = jnp.minimum(bounds[:-1], P)
+    end = jnp.minimum(bounds[1:], P)
+    count = jnp.minimum(end - start, max_per_tile)
+
+    cols = []
+    for p in props_s:
+        p = p[:P] if nK >= P else jnp.pad(p, (0, P - nK))
+        cols.append(p.reshape(p_chunks, CHUNK))
+    cols += [jnp.zeros((p_chunks, CHUNK), jnp.float32)] * (PROPW - NPROP)
+    props3d = jnp.stack(cols, axis=1)               # (p_chunks, 16, 128)
+    props3d = jnp.pad(props3d, ((0, DCH), (0, 0), (0, 0)))  # DMA tail margin
+    out = (props3d, start.astype(jnp.float32), count.astype(jnp.float32))
+    return out, slot_s
+
+
+def _pair_sort_fwd(stacked, tile_f, depth, K, p_chunks, num_tiles,
+                   max_per_tile):
+    out, slot_s = _pair_sort_impl(stacked, tile_f, depth, K, p_chunks,
+                                  num_tiles, max_per_tile)
+    return out, (slot_s, stacked.shape[0], tile_f, depth)
+
+
+def _pair_sort_bwd(K, p_chunks, num_tiles, max_per_tile, saved, cots):
+    slot_s, n, tile_f, depth = saved
+    g_props3d, _, _ = cots
+    nK = n * K
+    P = p_chunks * CHUNK
+    g3 = g_props3d[:p_chunks]                       # strip the DMA margin
+    gcols = []
+    for r in range(NPROP):
+        gc = g3[:, r, :].reshape(P)
+        gc = gc[:nK] if P >= nK else jnp.pad(gc, (0, nK - P))
+        gcols.append(gc)
+    # sorting by the unique slot id IS the inverse permutation
+    unsorted = lax.sort((slot_s,) + tuple(gcols), num_keys=1,
+                        is_stable=True)
+    g_stack = [o.reshape(n, K).sum(axis=1) for o in unsorted[1:]]
+    g_stacked = jnp.stack(
+        g_stack + [jnp.zeros((n,), jnp.float32)] * (PROPW - NPROP), axis=1)
+    return g_stacked, jnp.zeros_like(tile_f), jnp.zeros_like(depth)
+
+
+_pair_sort.defvjp(_pair_sort_fwd, _pair_sort_bwd)
+
+
+# ---------------------------------------------------------------------------
+# compositing kernels
+# ---------------------------------------------------------------------------
 
 
 def _pixel_coords(ty, tx):
@@ -221,96 +233,124 @@ def _pixel_coords(ty, tx):
     return px, py
 
 
-def _tri_excl():
-    """tri[j, i] = 1 where j < i: right-multiplying computes an exclusive
-    cumulative sum along the pair (lane) axis on the MXU."""
-    r = lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
-    c = lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)
-    return (r < c).astype(jnp.float32)
+def _shift_right(x, s, lane):
+    """Shift lanes right by s, zero-filling (lane = lane-index iota)."""
+    return jnp.where(lane >= s, pltpu.roll(x, s, axis=1), 0.0)
 
 
-def _dot(a, b, contract):
-    # HIGHEST: bf16x3 passes == true f32 — the default single bf16 pass
-    # loses ~3 decimal digits, visibly corrupting transmittance cumsums
-    return lax.dot_general(a, b, (contract, ((), ())),
-                           preferred_element_type=jnp.float32,
-                           precision=lax.Precision.HIGHEST)
+def _cumsum_lanes(x, lane, exclusive: bool):
+    """Cumulative sum along the 128-lane pair axis as a Hillis-Steele
+    log-shift scan: 7 roll+add VPU steps, exact f32.
+
+    This beats an MXU triangular-matrix matmul both ways: a (PIX, CHUNK) x
+    (CHUNK, CHUNK) dot costs a full systolic pass per chunk (x3 at the
+    HIGHEST precision the transmittance chain needs), while the scan is a
+    handful of cheap vector ops with no precision compromise.
+    """
+    s = 1
+    while s < CHUNK:
+        x = x + _shift_right(x, s, lane)
+        s *= 2
+    return _shift_right(x, 1, lane) if exclusive else x
 
 
-def _chunk_terms(p, px, py, ci, count, logT, done, tri):
+def _chunk_terms(p, px, py, base, head, total, logT, done, lane):
     """Shared fwd/bwd per-chunk math.
 
     p: (PROPW, CHUNK) property-major chunk.  Pixel-pair arrays are
-    (PIX, CHUNK) = pixels-on-sublanes x pairs-on-lanes.
+    (PIX, CHUNK) = pixels-on-sublanes x pairs-on-lanes.  `base` is this
+    chunk's pair offset from the segment's aligned start; pairs outside
+    [head, total) belong to a neighboring tile (or padding) and are
+    masked out.
     """
     mx, my = p[0:1, :], p[1:2, :]
     ca, cb, cc = p[2:3, :], p[3:4, :], p[4:5, :]
-    op, live = p[5:6, :], p[9:10, :]
+    op = p[5:6, :]
 
     dx = px - mx                                    # (PIX, CHUNK)
     dy = py - my
     power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
 
-    jcol = lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1) + ci * CHUNK
-    in_count = jcol < count
+    jcol = lane[0:1, :] + base
+    in_seg = (jcol >= head) & (jcol < total)
 
     alpha_un = op * jnp.exp(power)
     alpha = jnp.minimum(alpha_un, ALPHA_MAX)
-    include = ((live > 0.5) & in_count & (power <= 0.0)
-               & (alpha >= ALPHA_MIN))
+    include = in_seg & (power <= 0.0) & (alpha >= ALPHA_MIN)
     alpha = jnp.where(include, alpha, 0.0)
     log1m = jnp.log1p(-alpha)
 
-    csum_ex = _dot(log1m, tri, (((1,), (0,))))       # exclusive cumsum
+    csum_ex = _cumsum_lanes(log1m, lane, exclusive=True)
     t_excl = jnp.exp(logT + csum_ex)
+    # accumulated transmittance is monotone non-increasing, so pairs that
+    # cross T_EPS form a SUFFIX: a pair blends iff it does not itself
+    # violate (no cumulative violation count needed)
     viol = include & (t_excl * (1.0 - alpha) < T_EPS)
-    violf = viol.astype(jnp.float32)
-    nviol_incl = _dot(violf, tri, (((1,), (0,)))) + violf
-    blend = include & (nviol_incl < 0.5) & (done < 0.5)
+    blend = include & jnp.logical_not(viol) & (done < 0.5)
 
     w = jnp.where(blend, alpha * t_excl, 0.0)
     logT_new = logT + jnp.sum(jnp.where(blend, log1m, 0.0), axis=1,
                               keepdims=True)
-    done_new = jnp.maximum(done, jnp.max(violf, axis=1, keepdims=True))
+    done_new = jnp.maximum(
+        done, jnp.max(viol.astype(jnp.float32), axis=1, keepdims=True))
     return dict(dx=dx, dy=dy, power=power, alpha_un=alpha_un, alpha=alpha,
                 blend=blend, w=w, t_excl=t_excl, logT=logT_new,
                 done=done_new, conic=(ca, cb, cc))
+
+
+def _segment_geom(start, count):
+    c0 = lax.div(start, CHUNK)
+    head = start - c0 * CHUNK
+    total = head + count
+    nchunks = jnp.where(count > 0,
+                        lax.div(total + CHUNK - 1, CHUNK),
+                        jnp.zeros((), jnp.int32))
+    return c0, head, total, nchunks
 
 
 def _fwd_kernel(start_ref, count_ref, props_ref, out_ref, scratch, sem):
     tiles_x = pl.num_programs(1)
     ty, tx = pl.program_id(0), pl.program_id(1)
     t = ty * tiles_x + tx
-    start = start_ref[t]
-    count = count_ref[t]
-    nchunks = lax.div(count + CHUNK - 1, CHUNK)
+    c0, head, total, nchunks = _segment_geom(start_ref[t], count_ref[t])
 
     px, py = _pixel_coords(ty, tx)
-    tri = _tri_excl()
+    lane = lax.broadcasted_iota(jnp.int32, (PIX, CHUNK), 1)
 
-    def get_dma(slot, ci):
-        off = pl.multiple_of(start + ci * CHUNK, CHUNK)
+    def get_dma(slot, si):
         return pltpu.make_async_copy(
-            props_ref.at[:, pl.ds(off, CHUNK)],
+            props_ref.at[pl.ds(c0 + si * DCH, DCH)],
             scratch.at[slot], sem.at[slot])
 
     @pl.when(nchunks > 0)
     def _():
         get_dma(0, 0).start()
 
+    # flat loop over exactly the chunks the segment needs; the DMA double
+    # buffer advances every DCH-th chunk
     def body(ci, carry):
-        logT, acc, done = carry                 # (PIX,1), (PIX,3), (PIX,1)
-        slot = ci % 2
+        logT, acc, done = carry
+        si = lax.div(ci, DCH)
+        j = ci - si * DCH
+        slot = lax.rem(si, 2)
 
-        @pl.when(ci + 1 < nchunks)
+        @pl.when(j == 0)
         def _():
-            get_dma((ci + 1) % 2, ci + 1).start()
+            @pl.when((si + 1) * DCH < nchunks)
+            def _():
+                get_dma(lax.rem(si + 1, 2), si + 1).start()
 
-        get_dma(slot, ci).wait()
-        p = scratch[slot]
-        terms = _chunk_terms(p, px, py, ci, count, logT, done, tri)
-        col3 = p[6:9, :]                        # (3, CHUNK)
-        acc = acc + _dot(terms["w"], col3, (((1,), (1,))))
+            get_dma(slot, si).wait()
+
+        p = scratch[slot, j]
+        terms = _chunk_terms(p, px, py, ci * CHUNK, head, total, logT,
+                             done, lane)
+        w = terms["w"]
+        # per-channel weighted lane reduction (VPU) instead of an MXU dot:
+        # a (CHUNK, 3) contraction still costs a full systolic pass
+        acc = acc + jnp.concatenate(
+            [jnp.sum(w * p[6 + c:7 + c, :], axis=1, keepdims=True)
+             for c in range(3)], axis=1)
         return terms["logT"], acc, terms["done"]
 
     z1 = jnp.zeros((PIX, 1), jnp.float32)
@@ -322,16 +362,15 @@ def _fwd_kernel(start_ref, count_ref, props_ref, out_ref, scratch, sem):
 
 
 def _bwd_kernel(start_ref, count_ref, props_ref, res_ref, g_ref, zeros_ref,
-                gout_ref, scratch, gscratch, sem, gsem):
+                gout_ref, scratch, gscratch, mscratch, sem, gsem, msem):
     tiles_x = pl.num_programs(1)
     ty, tx = pl.program_id(0), pl.program_id(1)
     t = ty * tiles_x + tx
-    start = start_ref[t]
-    count = count_ref[t]
-    nchunks = lax.div(count + CHUNK - 1, CHUNK)
+    c0, head, total, nchunks = _segment_geom(start_ref[t], count_ref[t])
+    nsteps = lax.div(nchunks + DCH - 1, DCH)
 
     px, py = _pixel_coords(ty, tx)
-    tri = _tri_excl()
+    lane = lax.broadcasted_iota(jnp.int32, (PIX, CHUNK), 1)
 
     res = res_ref[0]                            # (PIX, 4) [pre rgb, tfin]
     g = g_ref[0]                                # (PIX, 4) cotangents
@@ -340,44 +379,65 @@ def _bwd_kernel(start_ref, count_ref, props_ref, res_ref, g_ref, zeros_ref,
     suffix_const = (jnp.sum(g3 * res[:, 0:3], axis=1, keepdims=True)
                     + g[:, 3:4] * res[:, 3:4])  # (PIX, 1)
 
-    def get_dma(slot, ci):
-        off = pl.multiple_of(start + ci * CHUNK, CHUNK)
+    def get_dma(slot, si):
         return pltpu.make_async_copy(
-            props_ref.at[:, pl.ds(off, CHUNK)],
+            props_ref.at[pl.ds(c0 + si * DCH, DCH)],
             scratch.at[slot], sem.at[slot])
 
-    def gout_dma(slot, ci):
-        off = pl.multiple_of(start + ci * CHUNK, CHUNK)
+    def gout_dma(slot, si):
         return pltpu.make_async_copy(
             gscratch.at[slot],
-            gout_ref.at[:, pl.ds(off, CHUNK)],
-            gsem.at[slot])
+            gout_ref.at[pl.ds(c0 + si * DCH, DCH)], gsem.at[slot])
+
+    def merge_dma():
+        # the first chunk of this segment may be shared with the previous
+        # tile's tail; the grid is sequential, so read-modify-write merges
+        # the two tiles' disjoint-support gradients without races
+        return pltpu.make_async_copy(gout_ref.at[c0], mscratch, msem)
 
     @pl.when(nchunks > 0)
     def _():
         get_dma(0, 0).start()
+        merge_dma().start()
 
     def body(ci, carry):
         logT, done, p_gc = carry
-        slot = ci % 2
+        si = lax.div(ci, DCH)
+        j = ci - si * DCH
+        slot = lax.rem(si, 2)
 
-        @pl.when(ci + 1 < nchunks)
+        @pl.when(j == 0)
         def _():
-            get_dma((ci + 1) % 2, ci + 1).start()
+            @pl.when((si + 1) * DCH < nchunks)
+            def _():
+                get_dma(lax.rem(si + 1, 2), si + 1).start()
 
-        get_dma(slot, ci).wait()
-        p = scratch[slot]
-        terms = _chunk_terms(p, px, py, ci, count, logT, done, tri)
+            get_dma(slot, si).wait()
+
+            # this slot's previous gradient write must drain before reuse,
+            # then the whole slot is zeroed: chunks past the segment and
+            # rows 9..15 must not leak stale data into the RMW merges
+            @pl.when(si >= 2)
+            def _():
+                gout_dma(slot, si - 2).wait()
+
+            gscratch[slot] = jnp.zeros((DCH, PROPW, CHUNK), jnp.float32)
+
+        p = scratch[slot, j]
+        terms = _chunk_terms(p, px, py, ci * CHUNK, head, total, logT,
+                             done, lane)
         w, t_excl, alpha = terms["w"], terms["t_excl"], terms["alpha"]
         alpha_un, power = terms["alpha_un"], terms["power"]
         blend = terms["blend"]
         dx, dy = terms["dx"], terms["dy"]
         ca, cb, cc = terms["conic"]
-        col3 = p[6:9, :]                        # (3, CHUNK)
 
-        gc = _dot(g3, col3, (((1,), (0,))))     # (PIX, CHUNK)
+        # gc[p, k] = sum_c g3[p, c] * color[c, k]: three outer-product
+        # FMAs on the VPU (an MXU (3, CHUNK) dot costs a full pass)
+        gc = (g3[:, 0:1] * p[6:7, :] + g3[:, 1:2] * p[7:8, :]
+              + g3[:, 2:3] * p[8:9, :])         # (PIX, CHUNK)
         wgc = w * gc
-        p_gc_incl = _dot(wgc, tri, (((1,), (0,)))) + wgc + p_gc
+        p_gc_incl = _cumsum_lanes(wgc, lane, exclusive=False) + p_gc
 
         one_m = jnp.maximum(1.0 - alpha, 1e-6)
         g_alpha = jnp.where(
@@ -387,29 +447,31 @@ def _bwd_kernel(start_ref, count_ref, props_ref, res_ref, g_ref, zeros_ref,
         G = jnp.exp(power)
         gp = g_alpha * alpha_un * not_clamped   # dL/dpower (PIX, CHUNK)
 
-        g_op = jnp.sum(g_alpha * G * not_clamped, axis=0, keepdims=True)
-        g_mx = jnp.sum(gp * (ca * dx + cb * dy), axis=0, keepdims=True)
-        g_my = jnp.sum(gp * (cc * dy + cb * dx), axis=0, keepdims=True)
-        g_ca = jnp.sum(gp * (-0.5 * dx * dx), axis=0, keepdims=True)
-        g_cb = jnp.sum(gp * (-dx * dy), axis=0, keepdims=True)
-        g_cc = jnp.sum(gp * (-0.5 * dy * dy), axis=0, keepdims=True)
-        g_col = _dot(g3, w, (((0,), (0,))))     # (3, CHUNK)
+        gscratch[slot, j, 0:1, :] = jnp.sum(
+            gp * (ca * dx + cb * dy), axis=0, keepdims=True)
+        gscratch[slot, j, 1:2, :] = jnp.sum(
+            gp * (cc * dy + cb * dx), axis=0, keepdims=True)
+        gscratch[slot, j, 2:3, :] = jnp.sum(
+            gp * (-0.5 * dx * dx), axis=0, keepdims=True)
+        gscratch[slot, j, 3:4, :] = jnp.sum(
+            gp * (-dx * dy), axis=0, keepdims=True)
+        gscratch[slot, j, 4:5, :] = jnp.sum(
+            gp * (-0.5 * dy * dy), axis=0, keepdims=True)
+        gscratch[slot, j, 5:6, :] = jnp.sum(
+            g_alpha * G * not_clamped, axis=0, keepdims=True)
+        for c in range(3):
+            gscratch[slot, j, 6 + c:7 + c, :] = jnp.sum(
+                g3[:, c:c + 1] * w, axis=0, keepdims=True)
 
-        # this slot's previous gradient write must drain before reuse
-        @pl.when(ci >= 2)
+        @pl.when(ci == 0)
         def _():
-            gout_dma(slot, ci - 2).wait()
+            merge_dma().wait()
+            gscratch[0, 0] = gscratch[0, 0] + mscratch[:, :]
 
-        gscratch[slot, 0:1, :] = g_mx
-        gscratch[slot, 1:2, :] = g_my
-        gscratch[slot, 2:3, :] = g_ca
-        gscratch[slot, 3:4, :] = g_cb
-        gscratch[slot, 4:5, :] = g_cc
-        gscratch[slot, 5:6, :] = g_op
-        gscratch[slot, 6:9, :] = g_col
-        gscratch[slot, 9:16, :] = jnp.zeros((7, CHUNK), jnp.float32)
-
-        gout_dma(slot, ci).start()
+        # flush the slot at the step's last chunk (or the segment's last)
+        @pl.when((j == DCH - 1) | (ci == nchunks - 1))
+        def _():
+            gout_dma(slot, si).start()
 
         return (terms["logT"], terms["done"],
                 p_gc + jnp.sum(wgc, axis=1, keepdims=True))
@@ -417,11 +479,11 @@ def _bwd_kernel(start_ref, count_ref, props_ref, res_ref, g_ref, zeros_ref,
     z1 = jnp.zeros((PIX, 1), jnp.float32)
     lax.fori_loop(0, nchunks, body, (z1, z1, z1))
 
-    def drain(ci, _):
-        gout_dma(ci % 2, ci).wait()
+    def drain(k, _):
+        gout_dma(lax.rem(k, 2), k).wait()
         return 0
 
-    lax.fori_loop(jnp.maximum(nchunks - 2, 0), nchunks, drain, 0)
+    lax.fori_loop(jnp.maximum(nsteps - 2, 0), nsteps, drain, 0)
 
 
 def _grids(height, width):
@@ -438,7 +500,7 @@ def _run_fwd(props, start, count, tiles_y, tiles_x, interpret):
             (1, PIX, OUTC), lambda i, j, *_: (i * tiles_x + j, 0, 0),
             memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, PROPW, CHUNK), jnp.float32),
+            pltpu.VMEM((2, DCH, PROPW, CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -467,10 +529,12 @@ def _run_bwd(props, start, count, res, g_res, tiles_y, tiles_x, interpret):
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=[
-            pltpu.VMEM((2, PROPW, CHUNK), jnp.float32),
-            pltpu.VMEM((2, PROPW, CHUNK), jnp.float32),
+            pltpu.VMEM((2, DCH, PROPW, CHUNK), jnp.float32),
+            pltpu.VMEM((2, DCH, PROPW, CHUNK), jnp.float32),
+            pltpu.VMEM((PROPW, CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA(()),
         ],
     )
     return pl.pallas_call(
@@ -484,7 +548,7 @@ def _run_bwd(props, start, count, res, g_res, tiles_y, tiles_x, interpret):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def _composite_core(props, start_f, count_f, tiles_y, tiles_x, interpret):
-    """(16, P) props + (T,) segment starts/counts -> (T, PIX, 4) tiles.
+    """(nch, 16, 128) props + (T,) segment starts/counts -> (T, PIX, 4).
 
     start/count travel as f32 so the custom_vjp cotangent structure stays
     all-float (they are exact integers well below 2^24).
@@ -493,7 +557,8 @@ def _composite_core(props, start_f, count_f, tiles_y, tiles_x, interpret):
                     count_f.astype(jnp.int32), tiles_y, tiles_x, interpret)
 
 
-def _composite_core_fwd(props, start_f, count_f, tiles_y, tiles_x, interpret):
+def _composite_core_fwd(props, start_f, count_f, tiles_y, tiles_x,
+                        interpret):
     out = _run_fwd(props, start_f.astype(jnp.int32),
                    count_f.astype(jnp.int32), tiles_y, tiles_x, interpret)
     return out, (props, start_f, count_f, out)
@@ -510,38 +575,54 @@ def _composite_core_bwd(tiles_y, tiles_x, interpret, saved, g_out):
 _composite_core.defvjp(_composite_core_fwd, _composite_core_bwd)
 
 
-def composite_pairs_pallas(mean2d, conic, opacity, color,
-                           seg: PaddedSegments, dup_cap: int,
-                           height: int, width: int,
-                           bg_color, interpret: bool = False):
-    """Composite per-Gaussian properties through padded tile segments.
+# ---------------------------------------------------------------------------
+# driver
+# ---------------------------------------------------------------------------
 
-    Fully differentiable w.r.t. mean2d/conic/opacity/color: the pallas core
-    has a custom VJP; packing is plain jnp whose AD emits the deterministic
-    per-Gaussian scatter-add.  Returns (image (H,W,3), transmittance
-    (H,W,1)).
+
+def render_sorted(stacked, height: int, width: int, max_tiles: int,
+                  max_per_tile: int, pair_budget, bg_color,
+                  interpret: bool = False):
+    """Full pallas path: (C, 16) stacked rows -> rendered tile image.
+
+    Returns (image (H, W, 3), transmittance (H, W, 1), num_dup_dropped,
+    num_pair_dropped).  Differentiable w.r.t. stacked columns 0..8 (the
+    binning keys in columns 9..10 are positional, gradient-free — matching
+    the CUDA rasterizer, which treats the sort order as fixed).
     """
+    n = stacked.shape[0]
     tiles_y, tiles_x = _grids(height, width)
-    props = pack_props(mean2d, conic, opacity, color, seg, dup_cap)
-    return _composite_from_props(props, seg, tiles_y, tiles_x, height,
-                                 width, bg_color, interpret)
+    num_tiles = tiles_y * tiles_x
 
+    mean2d = stacked[:, 0:2]
+    depth = stacked[:, 9]
+    radius = stacked[:, 10]
+    x_min, y_min, span_x, total, total_uncapped, num_dropped = tile_rects(
+        mean2d, radius, tiles_y, tiles_x, TILE, max_tiles)
 
-def composite_stacked_pallas(stacked, seg: PaddedSegments, dup_cap: int,
-                             height: int, width: int, bg_color,
-                             interpret: bool = False):
-    """Composite from pre-stacked (N, 16) rows (no re-concat)."""
-    tiles_y, tiles_x = _grids(height, width)
-    props = pack_stacked(stacked, seg, dup_cap)
-    return _composite_from_props(props, seg, tiles_y, tiles_x, height,
-                                 width, bg_color, interpret)
+    k = jnp.arange(max_tiles, dtype=jnp.int32)
+    span_x_safe = jnp.maximum(span_x, 1)[:, None]
+    dx = k[None, :] % span_x_safe
+    dy = k[None, :] // span_x_safe
+    pair_live = k[None, :] < total[:, None]
+    tile_id = (y_min[:, None] + dy) * tiles_x + (x_min[:, None] + dx)
+    tile_id = jnp.where(pair_live, tile_id, num_tiles)   # sentinel
 
+    nK = n * max_tiles
+    p_lim = nK if pair_budget is None else min(int(pair_budget), nK)
+    p_chunks = -(-p_lim // CHUNK)
 
-def _composite_from_props(props, seg, tiles_y, tiles_x, height, width,
-                          bg_color, interpret):
-    out = _composite_core(
-        props, seg.tile_start.astype(jnp.float32),
-        seg.tile_count.astype(jnp.float32), tiles_y, tiles_x, interpret)
+    depth_b = jnp.broadcast_to(
+        lax.stop_gradient(depth)[:, None], (n, max_tiles)).reshape(-1)
+    props3d, start_f, count_f = _pair_sort(
+        stacked, tile_id.reshape(-1).astype(jnp.float32), depth_b,
+        max_tiles, p_chunks, num_tiles, max_per_tile)
+
+    num_pair_dropped = (jnp.sum(total)
+                        - jnp.sum(count_f).astype(jnp.int32))
+
+    out = _composite_core(props3d, start_f, count_f, tiles_y, tiles_x,
+                          interpret)
 
     bg = jnp.asarray(bg_color, jnp.float32)
     img_tiles = out[..., 0:3] + out[..., 3:4] * bg[None, None, :]
@@ -551,6 +632,8 @@ def _composite_from_props(props, seg, tiles_y, tiles_x, height, width,
         ch = x.shape[-1]
         x = x.reshape(tiles_y, tiles_x, TILE, TILE, ch)
         x = x.transpose(0, 2, 1, 3, 4)
-        return x.reshape(tiles_y * TILE, tiles_x * TILE, ch)[:height, :width]
+        return x.reshape(tiles_y * TILE, tiles_x * TILE, ch)[:height,
+                                                             :width]
 
-    return untile(img_tiles), untile(tfin_tiles)
+    return (untile(img_tiles), untile(tfin_tiles), num_dropped,
+            num_pair_dropped)

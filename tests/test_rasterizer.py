@@ -305,3 +305,39 @@ def test_pair_budget_truncation_is_counted(rng):
                               backend="jnp")
     _, aux_j = rasterize_single(*args, tight_j)
     assert int(aux_j.num_pair_dropped) > 0
+
+
+def test_oversized_fg_cap_gradients_match(rng):
+    """fg_cap >= N must be a no-op, including gradients.
+
+    Regression: padding the compaction order with zeros duplicated row
+    index 0, violating take_rows_unique's unique-index backward and
+    corrupting gradients on the pallas path."""
+    cam = _camera()
+    xyz, q, scale, opacity, color, valid = _scene(rng, n=120)
+    bg = np.zeros(3, np.float32)
+    w = jnp.asarray(rng.normal(size=(RES, RES, 3)), jnp.float32)
+    statics = (jnp.asarray(cam["view"]), jnp.asarray(cam["proj"]),
+               cam["tanfovx"], cam["tanfovy"], RES, RES, jnp.asarray(bg))
+    cfg = RasterizeConfig(max_tiles_per_gaussian=16, max_per_tile=512,
+                          fg_cap=256,  # > n=120
+                          backend="pallas", interpret=True)
+
+    def loss_capped(opacity):
+        img, _ = rasterize_single(jnp.asarray(xyz), jnp.asarray(q),
+                                  jnp.asarray(scale), opacity,
+                                  jnp.asarray(color), jnp.asarray(valid),
+                                  *statics, cfg)
+        return jnp.sum(img * w)
+
+    def loss_ref(opacity):
+        img = rasterize_reference_single(
+            jnp.asarray(xyz), jnp.asarray(q), jnp.asarray(scale), opacity,
+            jnp.asarray(color), jnp.asarray(valid), *statics)
+        return jnp.sum(img * w)
+
+    gc = jax.grad(loss_capped)(jnp.asarray(opacity))
+    gr = jax.grad(loss_ref)(jnp.asarray(opacity))
+    s = np.abs(np.asarray(gr)).max() + 1e-8
+    np.testing.assert_allclose(np.asarray(gc) / s, np.asarray(gr) / s,
+                               atol=2e-5)
