@@ -68,29 +68,74 @@ def read_obj(path):
 
 def normalize_scan(verts: np.ndarray, rng: Optional[np.random.Generator]
                    = None) -> np.ndarray:
-    """Scale to ~1.80 m, feet on y=0, centered with optional xz jitter
-    (reference render_data.py height/jitter normalisation)."""
+    """Scale to 1.80 m (±0.05 randomised per scan), feet on y=0, centered
+    with bbox-aware xz jitter (reference render_data.py:108-124: shorter
+    scans may move more, scans with >1 m spread barely move)."""
     v = np.asarray(verts, np.float32).copy()
     lo, hi = v.min(axis=0), v.max(axis=0)
-    scale = TARGET_HEIGHT / max(hi[1] - lo[1], 1e-6)
+    height = TARGET_HEIGHT
+    if rng is not None:
+        height = TARGET_HEIGHT + rng.uniform(-0.05, 0.05)
+    scale = height / max(hi[1] - lo[1], 1e-6)
     center = (lo + hi) * 0.5
     v = (v - center) * scale
     v[:, 1] -= v[:, 1].min()
     if rng is not None:
-        v[:, 0] += rng.uniform(-0.1, 0.1)
-        v[:, 2] += rng.uniform(-0.1, 0.1)
+        move = 0.1 if height < TARGET_HEIGHT else 0.05
+        ext = v.max(axis=0) - v.min(axis=0)
+        if ext[0] > 1.0 or ext[2] > 1.0:
+            move = 0.01
+        v[:, 0] += rng.uniform(-move, move)
+        v[:, 2] += rng.uniform(-move, move)
     return v
 
 
+def scan_yaw_degrees(scan_dir: Path, verts: np.ndarray) -> float:
+    """Body-facing yaw normalisation angle for the camera ring.
+
+    Reference render_data.py:135-142 reads the SMPL-X global_orient y
+    component so every scan is rendered from a pose-normalised ring.  When
+    the SMPL-X fit is present (THuman2.0_Smpl_X_Paras/<scan>/smplx_param.pkl
+    next to the scan, or smplx_param.pkl inside the scan dir) use it;
+    otherwise fall back to a PCA estimate: humans are wider (shoulder axis)
+    than deep, so the principal xz axis is left-right and the facing
+    direction is its perpendicular (mod 180 deg — good enough to keep the
+    source arc on the body, which is what the normalisation is for)."""
+    for cand in (scan_dir / "smplx_param.pkl",
+                 scan_dir.parent.parent / "THuman2.0_Smpl_X_Paras"
+                 / scan_dir.name / "smplx_param.pkl"):
+        if cand.exists():
+            import pickle
+
+            with open(cand, "rb") as f:
+                para = pickle.load(f)
+            y_orient = float(np.asarray(para["global_orient"]).reshape(-1,
+                                                                       3)[0,
+                                                                          1])
+            return float(np.degrees(y_orient))
+    # PCA fallback on the xz footprint
+    xz = verts[:, [0, 2]] - verts[:, [0, 2]].mean(axis=0)
+    cov = xz.T @ xz / max(len(xz), 1)
+    evals, evecs = np.linalg.eigh(cov)
+    major = evecs[:, np.argmax(evals)]        # shoulder (left-right) axis
+    return float(np.degrees(np.arctan2(major[1], major[0])))
+
+
 def render_scan_views(verts, faces, uv, tex, root: Path, scan: str,
-                      seed: int, res: int = 1024, hr: bool = True):
+                      seed: int, res: int = 1024, hr: bool = True,
+                      yaw_deg: float = 0.0):
     """Render and save the 5-view arc for one scan (vid 0,1 sources;
-    2,3,4 novel; novel views also get the 2x hi-res target)."""
+    2,3,4 novel; novel views also get the 2x hi-res target).
+
+    yaw_deg rotates the whole ring to the scan's body facing (reference
+    render_data.py:131-142: integer base angle within +-arc/2 of front,
+    plus the SMPL-X yaw)."""
     rng = np.random.default_rng(seed)
     verts = normalize_scan(verts, rng)
     vert_color = np.full((len(verts), 3), 0.7, np.float32)
 
-    base = rng.uniform(0, 2 * np.pi)
+    base_deg = rng.integers(-ARC_DEG // 2, ARC_DEG // 2) + yaw_deg
+    base = np.deg2rad(float(base_deg))
     arc = np.deg2rad(ARC_DEG)
     angles = {
         0: base,
@@ -135,6 +180,7 @@ def render_dataset(scan_dir: str, out_root: str, res: int = 1024,
             tex = np.asarray(Image.open(texs[0]).convert("RGB"),
                              np.float32) / 255.0
         split = "val" if (i % val_every == val_every - 1) else "train"
+        yaw = scan_yaw_degrees(sp, verts)
         render_scan_views(verts, faces, uv, tex, out_root / split, sp.name,
-                          seed + i, res, hr)
+                          seed + i, res, hr, yaw_deg=yaw)
         yield sp.name, split

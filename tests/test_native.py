@@ -1,6 +1,7 @@
 """Native C++ kernels vs numpy oracles + mesh renderer geometry checks."""
 
 import numpy as np
+import pytest
 
 from gps_gaussian_tpu import native
 from gps_gaussian_tpu.geometry import stereo
@@ -121,3 +122,45 @@ def test_render_scans_pipeline(tmp_path, rng):
     s = ds.get_sample(0, (3,), rng)
     assert s["lmain"]["img"].shape == (96, 96, 3)
     assert s["lmain"]["valid"].sum() > 50   # GT flow from rendered depth
+
+
+def test_height_randomization_and_yaw_normalization(tmp_path):
+    """Data-prep fidelity vs reference render_data.py:108-142: per-scan
+    height 1.80+-0.05, bbox-aware jitter, SMPL-X yaw (PCA fallback)."""
+    import pickle
+
+    from gps_gaussian_tpu.data import render_scans
+
+    rng0 = np.random.default_rng(0)
+    verts = rng0.normal(size=(500, 3)).astype(np.float32)
+    heights = []
+    for seed in range(20):
+        v = render_scans.normalize_scan(verts,
+                                        np.random.default_rng(seed))
+        heights.append(v[:, 1].max() - v[:, 1].min())
+        assert abs(v[:, 1].min()) < 1e-5           # feet on y=0
+    heights = np.asarray(heights)
+    assert (np.abs(heights - 1.80) <= 0.05 + 1e-6).all()
+    assert heights.std() > 0.01                    # actually randomised
+
+    # PCA yaw fallback: a body wide along x faces ~0/180 deg; rotating it
+    # by 40 deg about y must move the estimate by ~40 (mod 180)
+    wide = np.stack([np.linspace(-0.4, 0.4, 200),
+                     np.linspace(0, 1.8, 200),
+                     0.02 * rng0.normal(size=200)], axis=1).astype(np.float32)
+    y0 = render_scans.scan_yaw_degrees(tmp_path, wide)
+    th = np.deg2rad(40.0)
+    rot = np.array([[np.cos(th), 0, np.sin(th)],
+                    [0, 1, 0],
+                    [-np.sin(th), 0, np.cos(th)]], np.float32)
+    y1 = render_scans.scan_yaw_degrees(tmp_path, wide @ rot.T)
+    d = (y1 - y0) % 180.0
+    assert min(d, 180.0 - d) == pytest.approx(40.0, abs=2.0)
+
+    # SMPL-X param wins over PCA when present
+    scan_dir = tmp_path / "scanA"
+    scan_dir.mkdir()
+    with open(scan_dir / "smplx_param.pkl", "wb") as f:
+        pickle.dump({"global_orient": np.array([[0.0, np.pi / 2, 0.0]])}, f)
+    y_smpl = render_scans.scan_yaw_degrees(scan_dir, wide)
+    assert y_smpl == pytest.approx(90.0, abs=1e-4)
