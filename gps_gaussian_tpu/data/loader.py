@@ -1,16 +1,20 @@
 """Batching host loader: samples -> typed StereoSample pytrees.
 
 CPU-side parallelism equivalent of the reference's torch DataLoader workers
-(train_stage1.py:32-36): a thread pool prefetches and collates batches while
-the device computes.  Per-host sharding for multi-host training comes from
-slicing the scan list by process index.
+(train_stage1.py:32-36): worker processes (or threads) prefetch and collate
+batches while the device computes.  Per-host sharding for multi-host
+training comes from slicing the scan list by process index.  Training
+batches sample WITHOUT replacement: a shuffled epoch permutation is drawn
+down and reshuffled when exhausted (the reference's epoch semantics via
+torch DataLoader shuffle=True).
 """
 
 from __future__ import annotations
 
+import multiprocessing as mp
 import queue
 import threading
-from typing import Optional, Sequence
+from typing import Iterator, Optional, Sequence
 
 import numpy as np
 
@@ -57,12 +61,31 @@ def collate(samples: Sequence[dict]) -> StereoSample:
                         rmain=stack_view("rmain"), novel=novel)
 
 
+def _proc_worker(dataset, novel_ids, task_q, out_q):
+    """Worker-process loop: (indices, seed) tasks -> collated batches."""
+    while True:
+        task = task_q.get()
+        if task is None:
+            return
+        idxs, seed = task
+        rng = np.random.default_rng(seed)
+        samples = [dataset.get_sample(int(i), novel_ids, rng) for i in idxs]
+        out_q.put(collate(samples))
+
+
 class BatchLoader:
-    """Infinite random-batch iterator with threaded prefetch."""
+    """Infinite epoch-shuffled batch iterator with prefetch.
+
+    num_procs > 0 forks that many worker processes (numpy/PIL decode off
+    the GIL — required to keep large-resolution steps input-bound-free);
+    num_procs = 0 falls back to `num_threads` Python threads (fine for
+    small synthetic fixtures and tests).
+    """
 
     def __init__(self, dataset: StereoHumanDataset, batch_size: int,
                  novel_ids: Optional[Sequence[int]], seed: int = 1314,
                  prefetch: int = 2, num_threads: int = 2,
+                 num_procs: int = 0,
                  process_index: int = 0, process_count: int = 1):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -72,17 +95,45 @@ class BatchLoader:
         # per-host shard of the scan index space
         n = len(dataset)
         self.indices = list(range(process_index, n, process_count)) or [0]
-        self.q: queue.Queue = queue.Queue(maxsize=prefetch)
+        self._perm: list = []
         self._stop = threading.Event()
-        self.threads = [threading.Thread(target=self._worker, daemon=True)
-                        for _ in range(num_threads)]
+        self.procs: list = []
+        self.threads: list = []
+        if num_procs > 0:
+            ctx = mp.get_context("fork")
+            self._task_q = ctx.Queue(maxsize=prefetch + num_procs)
+            self.q = ctx.Queue(maxsize=prefetch)
+            self.procs = [
+                ctx.Process(target=_proc_worker,
+                            args=(dataset, novel_ids, self._task_q, self.q),
+                            daemon=True)
+                for _ in range(num_procs)]
+            for p in self.procs:
+                p.start()
+            self.threads = [threading.Thread(target=self._feeder,
+                                             daemon=True)]
+        else:
+            self.q = queue.Queue(maxsize=prefetch)
+            self.threads = [threading.Thread(target=self._worker,
+                                             daemon=True)
+                            for _ in range(num_threads)]
         for t in self.threads:
             t.start()
 
-    def _one_batch(self) -> StereoSample:
+    def _next_task(self):
+        """Next batch of epoch-permutation indices + a sampling seed."""
         with self._rng_lock:
-            idxs = self.rng.choice(self.indices, size=self.batch_size)
-            rng = np.random.default_rng(self.rng.integers(2 ** 31))
+            while len(self._perm) < self.batch_size:
+                self._perm.extend(
+                    self.rng.permutation(self.indices).tolist())
+            idxs = self._perm[: self.batch_size]
+            del self._perm[: self.batch_size]
+            seed = int(self.rng.integers(2 ** 31))
+        return idxs, seed
+
+    def _one_batch(self) -> StereoSample:
+        idxs, seed = self._next_task()
+        rng = np.random.default_rng(seed)
         samples = [self.dataset.get_sample(int(i), self.novel_ids, rng)
                    for i in idxs]
         return collate(samples)
@@ -91,6 +142,13 @@ class BatchLoader:
         while not self._stop.is_set():
             try:
                 self.q.put(self._one_batch(), timeout=1.0)
+            except queue.Full:
+                continue
+
+    def _feeder(self):
+        while not self._stop.is_set():
+            try:
+                self._task_q.put(self._next_task(), timeout=1.0)
             except queue.Full:
                 continue
 
@@ -104,3 +162,33 @@ class BatchLoader:
         self._stop.set()
         for t in self.threads:
             t.join(timeout=2.0)
+        for p in self.procs:
+            p.terminate()
+        for p in self.procs:
+            p.join(timeout=2.0)
+
+
+def eval_batches(dataset: StereoHumanDataset, batch_size: int,
+                 novel_ids: Optional[Sequence[int]], seed: int = 1234,
+                 process_index: int = 0, process_count: int = 1,
+                 max_batches: Optional[int] = None
+                 ) -> Iterator[StereoSample]:
+    """Deterministic full sweep of the val set in fixed-size batches.
+
+    Replaces sampling random val batches with the reference's full val
+    loop (train_stage2.py:103-139): every index visited once, in order,
+    per-sample rng seeded by the index so the novel-view choice (and any
+    augmentation) is identical run-to-run.  A short tail is wrapped to
+    keep the jitted eval step's batch shape static.
+    """
+    idxs = list(range(process_index, len(dataset), process_count)) or [0]
+    n_batches = -(-len(idxs) // batch_size)
+    if max_batches is not None:
+        n_batches = min(n_batches, max_batches)
+    for b in range(n_batches):
+        chunk = [idxs[(b * batch_size + j) % len(idxs)]
+                 for j in range(batch_size)]
+        samples = [dataset.get_sample(int(i), novel_ids,
+                                      np.random.default_rng(seed + int(i)))
+                   for i in chunk]
+        yield collate(samples)

@@ -50,6 +50,11 @@ class DataConfig:
     bg_color: Tuple[float, float, float] = (0.0, 0.0, 0.0)
     znear: float = 0.01
     zfar: float = 100.0
+    # loader workers (reference train_stage1.py:32-36 DataLoader workers):
+    # processes fork numpy/PIL decode off the GIL; 0 = thread fallback
+    num_workers: int = 0
+    # cap on deterministic full-val-sweep batches per eval (None = all)
+    eval_max_batches: Optional[int] = None
 
 
 @dataclasses.dataclass(frozen=True)

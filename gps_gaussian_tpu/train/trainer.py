@@ -200,11 +200,7 @@ class Trainer:
         novel_train = tuple(cfg.dataset.train_novel_id)
         self.train_loader = BatchLoader(
             self.train_ds, cfg.batch_size, novel_train, seed=cfg.seed,
-            process_index=jax.process_index(),
-            process_count=jax.process_count())
-        self.val_loader = BatchLoader(
-            self.val_ds, cfg.batch_size, tuple(cfg.dataset.val_novel_id),
-            seed=cfg.seed + 77,
+            num_procs=cfg.dataset.num_workers,
             process_index=jax.process_index(),
             process_count=jax.process_count())
 
@@ -321,16 +317,30 @@ class Trainer:
                                   wait=True)
         return self.state
 
-    def run_eval(self, step: int, num_batches: int = 8):
+    def run_eval(self, step: int, max_batches: Optional[int] = None):
+        """Deterministic full sweep of the val set (reference
+        train_stage2.py:103-139 full val loop) — not random batches, so
+        val metrics are comparable run-to-run."""
+        from gps_gaussian_tpu.data.loader import eval_batches
+
         agg: dict = {}
         preview = None
-        for i in range(num_batches):
-            batch = self._device_batch(next(self.val_loader))
+        n = 0
+        for batch in eval_batches(
+                self.val_ds, self.cfg.batch_size,
+                tuple(self.cfg.dataset.val_novel_id),
+                process_index=jax.process_index(),
+                process_count=jax.process_count(),
+                max_batches=max_batches
+                or self.cfg.dataset.eval_max_batches):
+            batch = self._device_batch(batch)
             metrics, img_pred = self.eval_step(self.state.params, batch)
             for k, v in metrics.items():
                 agg[k] = agg.get(k, 0.0) + float(v)
-            if i == 0 and img_pred is not None:
+            if n == 0 and img_pred is not None:
                 preview = np.asarray(img_pred[0])
+            n += 1
+        num_batches = max(n, 1)
         msg = " ".join(f"{k}={v / num_batches:.4f}"
                        for k, v in sorted(agg.items()))
         log.info("eval @%d: %s", step, msg)
@@ -350,6 +360,5 @@ class Trainer:
 
     def close(self):
         self.train_loader.close()
-        self.val_loader.close()
         if self.writer:
             self.writer.close()

@@ -114,3 +114,54 @@ def test_batch_loader(dataset_root):
         assert batch.novel.camera.view.shape == (2, 4, 4)
     finally:
         loader.close()
+
+
+def test_batch_loader_epoch_without_replacement(dataset_root):
+    """The epoch permutation visits every index exactly once per epoch."""
+    cfg = DatasetConfig(data_root=str(dataset_root), src_res=RES,
+                        use_processed_data=False)
+    ds = StereoHumanDataset(cfg, "train")
+    loader = BatchLoader(ds, batch_size=2, novel_ids=cfg.train_novel_ids,
+                         num_threads=0)  # drive _next_task directly
+    n = len(loader.indices)
+    seen = []
+    # two epochs worth of tasks
+    draws = -(-2 * n // 2)
+    for _ in range(draws):
+        idxs, _ = loader._next_task()
+        seen.extend(idxs)
+    first_epoch = seen[:n]
+    assert sorted(first_epoch) == sorted(loader.indices)
+    loader.close()
+
+
+def test_batch_loader_multiprocess(dataset_root):
+    cfg = DatasetConfig(data_root=str(dataset_root), src_res=RES,
+                        use_processed_data=False)
+    ds = StereoHumanDataset(cfg, "train")
+    loader = BatchLoader(ds, batch_size=2, novel_ids=cfg.train_novel_ids,
+                         num_procs=2)
+    try:
+        for _ in range(3):
+            batch = next(loader)
+            assert batch.lmain.img.shape == (2, RES, RES, 3)
+            assert batch.novel.img.shape == (2, RES, RES, 3)
+    finally:
+        loader.close()
+
+
+def test_eval_batches_deterministic_full_sweep(dataset_root):
+    from gps_gaussian_tpu.data.loader import eval_batches
+
+    cfg = DatasetConfig(data_root=str(dataset_root), src_res=RES,
+                        use_processed_data=False)
+    ds = StereoHumanDataset(cfg, "val")
+    sweep1 = list(eval_batches(ds, 2, cfg.val_novel_ids))
+    sweep2 = list(eval_batches(ds, 2, cfg.val_novel_ids))
+    assert len(sweep1) == -(-len(ds) // 2)
+    for b1, b2 in zip(sweep1, sweep2):
+        np.testing.assert_array_equal(b1.lmain.img, b2.lmain.img)
+        np.testing.assert_array_equal(b1.novel.img, b2.novel.img)
+    # max_batches caps the sweep
+    assert len(list(eval_batches(ds, 2, cfg.val_novel_ids,
+                                 max_batches=1))) == 1

@@ -55,7 +55,7 @@ def test_stage1_training_runs_and_learns(data_root, tmp_path):
             jax.random.PRNGKey(0), batch, iters=cfg.raft.train_iters))
         state = tr.train()
         assert int(state.step) == 6
-        metrics = tr.run_eval(6, num_batches=2)
+        metrics = tr.run_eval(6, max_batches=2)
         assert np.isfinite(metrics["val_epe"])
         # checkpoints written
         assert (tmp_path / "exp1" / "ckpt").exists()
@@ -78,7 +78,7 @@ def test_stage2_training_and_partial_restore(data_root, tmp_path):
     try:
         state = tr2.train()
         assert int(state.step) == 2
-        metrics = tr2.run_eval(2, num_batches=1)
+        metrics = tr2.run_eval(2, max_batches=1)
         assert np.isfinite(metrics["val_psnr"])
         assert metrics["val_psnr"] > 5.0   # renders something image-like
     finally:
