@@ -103,7 +103,7 @@ def main():
                              cfg.max_per_tile)
 
     def kernel_stage(props3d, start_f, count_f):
-        return PK._composite_core(props3d, start_f, count_f,
+        return PK._composite_core(props3d, start_f, count_f, 1,
                                   tiles_y, tiles_x, False)
 
     stages = {}

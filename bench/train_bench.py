@@ -36,7 +36,9 @@ def main():
     cfg = load_config(
         None, batch_size=args.batch,
         raft=dict(mixed_precision=args.bf16),
-        raster=dict(max_tiles_per_gaussian=8, max_per_tile=2048),
+        raster=dict(max_tiles_per_gaussian=8, max_per_tile=2048,
+                    fg_cap=max(args.res * args.res // 4, 1 << 14),
+                    pair_budget=3 * args.res * args.res // 2),
         dataset=dict(src_res=args.res))
 
     batch = fake_stereo_batch(batch=args.batch, res=args.res,

@@ -81,6 +81,38 @@ def compact_foreground(projd, cap: int):
     return compacted, n_live - n_kept
 
 
+def _stack_compact(projd, cfg: RasterizeConfig):
+    """Fused row layout + optional foreground compaction (pallas path).
+
+    One gather moves ALL per-Gaussian properties through compaction
+    (depth/radius ride cols 9-10 for binning).  Returns
+    (stacked (C, 16), num_fg_dropped ())."""
+    from gps_gaussian_tpu.kernels.rasterizer.pallas_kernel import (
+        stack_rows, take_rows_unique)
+
+    n = projd.depth.shape[0]
+    stacked = stack_rows(projd.mean2d, projd.conic, projd.opacity,
+                         projd.color, projd.depth, projd.radius)
+    num_fg_dropped = jnp.zeros((), jnp.int32)
+    # compaction only ever shrinks: when fg_cap >= n there is nothing to
+    # drop, and padding `order` would duplicate index 0, breaking
+    # take_rows_unique's unique-index inverse-permutation backward
+    if cfg.fg_cap is not None and cfg.fg_cap < n:
+        live = projd.radius > 0.0
+        order = jnp.argsort(jnp.logical_not(live))
+        idx_map = order[: cfg.fg_cap]
+        n_live = jnp.sum(live.astype(jnp.int32))
+        n_kept = jnp.minimum(n_live, cfg.fg_cap)
+        num_fg_dropped = n_live - n_kept
+        slot_live = (jnp.arange(cfg.fg_cap, dtype=jnp.int32)
+                     < n_kept).astype(jnp.float32)
+        stacked = take_rows_unique(stacked, idx_map.astype(jnp.float32))
+        stacked = jnp.concatenate(
+            [stacked[:, :10], stacked[:, 10:11] * slot_live[:, None],
+             stacked[:, 11:]], axis=1)
+    return stacked, num_fg_dropped
+
+
 def rasterize_single(xyz, rot, scale, opacity, color, valid,
                      view, proj, tanfovx, tanfovy,
                      height: int, width: int, bg_color,
@@ -96,37 +128,16 @@ def rasterize_single(xyz, rot, scale, opacity, color, valid,
     backend = cfg.resolve_backend()
     if backend == "pallas":
         from gps_gaussian_tpu.kernels.rasterizer.pallas_kernel import (
-            render_sorted, stack_rows, take_rows_unique)
-        # fused row layout: one gather moves ALL per-Gaussian properties
-        # through compaction (depth/radius ride cols 9-10 for binning)
-        n = projd.depth.shape[0]
-        stacked = stack_rows(projd.mean2d, projd.conic, projd.opacity,
-                             projd.color, projd.depth, projd.radius)
-        # compaction only ever shrinks: when fg_cap >= n there is nothing to
-        # drop, and padding `order` would duplicate index 0, breaking
-        # take_rows_unique's unique-index inverse-permutation backward
-        if cfg.fg_cap is not None and cfg.fg_cap < n:
-            live = projd.radius > 0.0
-            order = jnp.argsort(jnp.logical_not(live))
-            idx_map = order[: cfg.fg_cap]
-            n_live = jnp.sum(live.astype(jnp.int32))
-            n_kept = jnp.minimum(n_live, cfg.fg_cap)
-            num_fg_dropped = n_live - n_kept
-            slot_live = (jnp.arange(cfg.fg_cap, dtype=jnp.int32)
-                         < n_kept).astype(jnp.float32)
-            stacked = take_rows_unique(stacked,
-                                       idx_map.astype(jnp.float32))
-            stacked = jnp.concatenate(
-                [stacked[:, :10], stacked[:, 10:11] * slot_live[:, None],
-                 stacked[:, 11:]], axis=1)
+            render_sorted)
+        stacked, num_fg_dropped = _stack_compact(projd, cfg)
         img, trans, num_dropped, num_pair_dropped = render_sorted(
-            stacked, height, width, cfg.max_tiles_per_gaussian,
+            stacked[None], height, width, cfg.max_tiles_per_gaussian,
             cfg.max_per_tile, cfg.pair_budget,
             jnp.asarray(bg_color, jnp.float32), interpret=cfg.interpret)
-        return img, RasterizeAux(transmittance=trans,
-                                 num_dropped=num_dropped,
-                                 num_fg_dropped=num_fg_dropped,
-                                 num_pair_dropped=num_pair_dropped)
+        return img[0], RasterizeAux(transmittance=trans[0],
+                                    num_dropped=num_dropped[0],
+                                    num_fg_dropped=num_fg_dropped,
+                                    num_pair_dropped=num_pair_dropped[0])
     else:
         if cfg.fg_cap is not None:
             projd, num_fg_dropped = compact_foreground(projd, cfg.fg_cap)
@@ -167,22 +178,40 @@ def rasterize(gaussians: FlatGaussians, camera: NovelCamera, bg_color,
     ("counted, never silent") surfaces here so trainers/eval can log drops.
 
     Capability of reference lib/GaussianRender.py pts2render, without the
-    per-sample python loop: one vmapped program over the batch.
+    per-sample python loop.  On the pallas backend the whole batch is
+    FUSED: per-sample preprocess/compaction vmaps (elementwise + batched
+    sort), then one global pair sort and one kernel launch over a
+    (B, ty, tx) grid — vmapping the sort pipeline instead costs ~60 ms per
+    sample at 1024^2 (round-1 ROADMAP #9).
     """
     bg = jnp.asarray(bg_color, jnp.float32)
+    h, w = camera.height, camera.width
+
+    if cfg.resolve_backend() == "pallas":
+        from gps_gaussian_tpu.kernels.rasterizer.pallas_kernel import (
+            render_sorted)
+
+        def prep(g: FlatGaussians, view, proj, tanfovx, tanfovy):
+            projd = project_gaussians(
+                g.xyz, g.rot, g.scale, g.opacity, g.rgb, g.valid,
+                view, proj, tanfovx, tanfovy, h, w)
+            return _stack_compact(projd, cfg)
+
+        stacked, num_fg_dropped = jax.vmap(prep)(
+            gaussians, camera.view, camera.proj, camera.tanfovx,
+            camera.tanfovy)
+        img, trans, num_dropped, num_pair_dropped = render_sorted(
+            stacked, h, w, cfg.max_tiles_per_gaussian, cfg.max_per_tile,
+            cfg.pair_budget, bg, interpret=cfg.interpret)
+        return img, RasterizeAux(transmittance=trans,
+                                 num_dropped=num_dropped,
+                                 num_fg_dropped=num_fg_dropped,
+                                 num_pair_dropped=num_pair_dropped)
 
     def one(g: FlatGaussians, view, proj, tanfovx, tanfovy):
         return rasterize_single(
             g.xyz, g.rot, g.scale, g.opacity, g.rgb, g.valid,
-            view, proj, tanfovx, tanfovy,
-            camera.height, camera.width, bg, cfg)
+            view, proj, tanfovx, tanfovy, h, w, bg, cfg)
 
-    if gaussians.xyz.shape[0] == 1:
-        # batching the sort/scatter pipeline through vmap costs ~60 ms at
-        # 1024^2 even for batch 1 — take the unbatched path directly
-        img, aux = one(jax.tree_util.tree_map(lambda x: x[0], gaussians),
-                       camera.view[0], camera.proj[0], camera.tanfovx[0],
-                       camera.tanfovy[0])
-        return img[None], jax.tree_util.tree_map(lambda x: x[None], aux)
     return jax.vmap(one)(gaussians, camera.view, camera.proj,
                          camera.tanfovx, camera.tanfovy)

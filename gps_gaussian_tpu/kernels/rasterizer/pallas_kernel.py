@@ -233,9 +233,9 @@ def _pixel_coords(ty, tx):
     return px, py
 
 
-def _shift_right(x, s, lane):
-    """Shift lanes right by s, zero-filling (lane = lane-index iota)."""
-    return jnp.where(lane >= s, pltpu.roll(x, s, axis=1), 0.0)
+def _shift_right(x, s, lane, fill=0.0):
+    """Shift lanes right by s, filling with `fill` (lane = lane iota)."""
+    return jnp.where(lane >= s, pltpu.roll(x, s, axis=1), fill)
 
 
 def _cumsum_lanes(x, lane, exclusive: bool):
@@ -254,14 +254,28 @@ def _cumsum_lanes(x, lane, exclusive: bool):
     return _shift_right(x, 1, lane) if exclusive else x
 
 
-def _chunk_terms(p, px, py, base, head, total, logT, done, lane):
+def _cumprod_lanes_excl(x, lane):
+    """Exclusive cumulative product along the lane axis (same scan shape).
+
+    Multiplicative transmittance is both cheaper and closer to the CUDA
+    walk than the round-1 exp(cumsum(log1p)) chain: it drops two
+    transcendentals per pair-pixel and accumulates T by the same repeated
+    f32 multiplies the reference performs."""
+    s = 1
+    while s < CHUNK:
+        x = x * _shift_right(x, s, lane, fill=1.0)
+        s *= 2
+    return _shift_right(x, 1, lane, fill=1.0)
+
+
+def _chunk_terms(p, px, py, base, head, total, T, done, lane):
     """Shared fwd/bwd per-chunk math.
 
     p: (PROPW, CHUNK) property-major chunk.  Pixel-pair arrays are
     (PIX, CHUNK) = pixels-on-sublanes x pairs-on-lanes.  `base` is this
     chunk's pair offset from the segment's aligned start; pairs outside
     [head, total) belong to a neighboring tile (or padding) and are
-    masked out.
+    masked out.  T is the (PIX, 1) transmittance carry.
     """
     mx, my = p[0:1, :], p[1:2, :]
     ca, cb, cc = p[2:3, :], p[3:4, :], p[4:5, :]
@@ -278,23 +292,27 @@ def _chunk_terms(p, px, py, base, head, total, logT, done, lane):
     alpha = jnp.minimum(alpha_un, ALPHA_MAX)
     include = in_seg & (power <= 0.0) & (alpha >= ALPHA_MIN)
     alpha = jnp.where(include, alpha, 0.0)
-    log1m = jnp.log1p(-alpha)
+    one_m = 1.0 - alpha                             # 1 where not included
 
-    csum_ex = _cumsum_lanes(log1m, lane, exclusive=True)
-    t_excl = jnp.exp(logT + csum_ex)
+    t_excl = T * _cumprod_lanes_excl(one_m, lane)
     # accumulated transmittance is monotone non-increasing, so pairs that
     # cross T_EPS form a SUFFIX: a pair blends iff it does not itself
     # violate (no cumulative violation count needed)
-    viol = include & (t_excl * (1.0 - alpha) < T_EPS)
+    viol = include & (t_excl * one_m < T_EPS)
     blend = include & jnp.logical_not(viol) & (done < 0.5)
 
     w = jnp.where(blend, alpha * t_excl, 0.0)
-    logT_new = logT + jnp.sum(jnp.where(blend, log1m, 0.0), axis=1,
-                              keepdims=True)
+    # the carry is the transmittance AFTER the last blended pair, which is
+    # exactly min over blended lanes of t_excl * one_m (T is monotone
+    # non-increasing) — one masked max-reduce, no scan and no product.
+    # Blended-only semantics match the oracle's t_final; once done, T no
+    # longer matters (every later w is 0).
+    T_new = -jnp.max(jnp.where(blend, -(t_excl * one_m), -T), axis=1,
+                     keepdims=True)
     done_new = jnp.maximum(
         done, jnp.max(viol.astype(jnp.float32), axis=1, keepdims=True))
     return dict(dx=dx, dy=dy, power=power, alpha_un=alpha_un, alpha=alpha,
-                blend=blend, w=w, t_excl=t_excl, logT=logT_new,
+                blend=blend, w=w, t_excl=t_excl, T=T_new,
                 done=done_new, conic=(ca, cb, cc))
 
 
@@ -309,9 +327,9 @@ def _segment_geom(start, count):
 
 
 def _fwd_kernel(start_ref, count_ref, props_ref, out_ref, scratch, sem):
-    tiles_x = pl.num_programs(1)
-    ty, tx = pl.program_id(0), pl.program_id(1)
-    t = ty * tiles_x + tx
+    tiles_y, tiles_x = pl.num_programs(1), pl.num_programs(2)
+    b, ty, tx = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    t = (b * tiles_y + ty) * tiles_x + tx
     c0, head, total, nchunks = _segment_geom(start_ref[t], count_ref[t])
 
     px, py = _pixel_coords(ty, tx)
@@ -326,48 +344,63 @@ def _fwd_kernel(start_ref, count_ref, props_ref, out_ref, scratch, sem):
     def _():
         get_dma(0, 0).start()
 
-    # flat loop over exactly the chunks the segment needs; the DMA double
-    # buffer advances every DCH-th chunk
-    def body(ci, carry):
-        logT, acc, done = carry
-        si = lax.div(ci, DCH)
-        j = ci - si * DCH
+    # step-level while loop (DCH chunks per step, double-buffered DMA)
+    # with EARLY TERMINATION: once every pixel of the tile has crossed
+    # T_EPS no later pair can blend (transmittance is monotone), so the
+    # rest of the segment is skipped — the CUDA kernel's all-threads-done
+    # exit.  Opaque scenes saturate after a few chunks of a deep segment.
+    def cond(carry):
+        si, T, acc, done = carry
+        return (si * DCH < nchunks) & (jnp.sum(done) < PIX - 0.5)
+
+    def step(carry):
+        si, T, acc, done = carry
         slot = lax.rem(si, 2)
 
-        @pl.when(j == 0)
+        @pl.when((si + 1) * DCH < nchunks)
         def _():
-            @pl.when((si + 1) * DCH < nchunks)
-            def _():
-                get_dma(lax.rem(si + 1, 2), si + 1).start()
+            get_dma(lax.rem(si + 1, 2), si + 1).start()
 
-            get_dma(slot, si).wait()
+        get_dma(slot, si).wait()
 
-        p = scratch[slot, j]
-        terms = _chunk_terms(p, px, py, ci * CHUNK, head, total, logT,
-                             done, lane)
-        w = terms["w"]
-        # per-channel weighted lane reduction (VPU) instead of an MXU dot:
-        # a (CHUNK, 3) contraction still costs a full systolic pass
-        acc = acc + jnp.concatenate(
-            [jnp.sum(w * p[6 + c:7 + c, :], axis=1, keepdims=True)
-             for c in range(3)], axis=1)
-        return terms["logT"], acc, terms["done"]
+        for j in range(DCH):
+            ci = si * DCH + j
+            p = scratch[slot, j]
+            terms = _chunk_terms(p, px, py, ci * CHUNK, head, total, T,
+                                 done, lane)
+            w = terms["w"]
+            # per-channel weighted lane reduction (VPU) instead of an MXU
+            # dot: a (CHUNK, 3) contraction still costs a full systolic
+            # pass.  Chunks past the segment only see masked-out pairs
+            # (in_seg is false), so no pl.when guard is needed.
+            acc = acc + jnp.concatenate(
+                [jnp.sum(w * p[6 + c:7 + c, :], axis=1, keepdims=True)
+                 for c in range(3)], axis=1)
+            T, done = terms["T"], terms["done"]
+        return si + 1, T, acc, done
 
-    z1 = jnp.zeros((PIX, 1), jnp.float32)
-    logT, acc, _ = lax.fori_loop(
-        0, nchunks, body, (z1, jnp.zeros((PIX, 3), jnp.float32), z1))
+    si_f, T, acc, _ = lax.while_loop(
+        cond, step, (jnp.zeros((), jnp.int32),
+                     jnp.ones((PIX, 1), jnp.float32),
+                     jnp.zeros((PIX, 3), jnp.float32),
+                     jnp.zeros((PIX, 1), jnp.float32)))
+
+    # early exit leaves the NEXT step's prefetch in flight — drain it so
+    # the scratch/semaphore can be reused by the next grid iteration
+    @pl.when(si_f * DCH < nchunks)
+    def _():
+        get_dma(lax.rem(si_f, 2), si_f).wait()
 
     out_ref[0, :, 0:3] = acc
-    out_ref[0, :, 3:4] = jnp.exp(logT)
+    out_ref[0, :, 3:4] = T
 
 
 def _bwd_kernel(start_ref, count_ref, props_ref, res_ref, g_ref, zeros_ref,
                 gout_ref, scratch, gscratch, mscratch, sem, gsem, msem):
-    tiles_x = pl.num_programs(1)
-    ty, tx = pl.program_id(0), pl.program_id(1)
-    t = ty * tiles_x + tx
+    tiles_y, tiles_x = pl.num_programs(1), pl.num_programs(2)
+    b, ty, tx = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    t = (b * tiles_y + ty) * tiles_x + tx
     c0, head, total, nchunks = _segment_geom(start_ref[t], count_ref[t])
-    nsteps = lax.div(nchunks + DCH - 1, DCH)
 
     px, py = _pixel_coords(ty, tx)
     lane = lax.broadcasted_iota(jnp.int32, (PIX, CHUNK), 1)
@@ -400,104 +433,118 @@ def _bwd_kernel(start_ref, count_ref, props_ref, res_ref, g_ref, zeros_ref,
         get_dma(0, 0).start()
         merge_dma().start()
 
-    def body(ci, carry):
-        logT, done, p_gc = carry
-        si = lax.div(ci, DCH)
-        j = ci - si * DCH
+    # step-level while with the same early termination as the forward:
+    # once all pixels are done every remaining pair has w = 0 and zero
+    # gradient, and gout is zero-initialised (input_output_aliases), so
+    # skipping the writes leaves exactly the right values
+    def cond(carry):
+        si, T, done, p_gc = carry
+        return (si * DCH < nchunks) & (jnp.sum(done) < PIX - 0.5)
+
+    def step(carry):
+        si, T, done, p_gc = carry
         slot = lax.rem(si, 2)
 
-        @pl.when(j == 0)
+        @pl.when((si + 1) * DCH < nchunks)
         def _():
-            @pl.when((si + 1) * DCH < nchunks)
+            get_dma(lax.rem(si + 1, 2), si + 1).start()
+
+        get_dma(slot, si).wait()
+
+        # this slot's previous gradient write must drain before reuse,
+        # then the whole slot is zeroed: chunks past the segment and
+        # rows 9..15 must not leak stale data into the RMW merges
+        @pl.when(si >= 2)
+        def _():
+            gout_dma(slot, si - 2).wait()
+
+        gscratch[slot] = jnp.zeros((DCH, PROPW, CHUNK), jnp.float32)
+
+        for j in range(DCH):
+            ci = si * DCH + j
+            p = scratch[slot, j]
+            terms = _chunk_terms(p, px, py, ci * CHUNK, head, total, T,
+                                 done, lane)
+            w, t_excl, alpha = terms["w"], terms["t_excl"], terms["alpha"]
+            alpha_un, power = terms["alpha_un"], terms["power"]
+            blend = terms["blend"]
+            dx, dy = terms["dx"], terms["dy"]
+            ca, cb, cc = terms["conic"]
+
+            # gc[p, k] = sum_c g3[p, c] * color[c, k]: three outer-product
+            # FMAs on the VPU (an MXU (3, CHUNK) dot costs a full pass)
+            gc = (g3[:, 0:1] * p[6:7, :] + g3[:, 1:2] * p[7:8, :]
+                  + g3[:, 2:3] * p[8:9, :])         # (PIX, CHUNK)
+            wgc = w * gc
+            p_gc_incl = _cumsum_lanes(wgc, lane, exclusive=False) + p_gc
+
+            one_m = jnp.maximum(1.0 - alpha, 1e-6)
+            g_alpha = jnp.where(
+                blend, gc * t_excl - (suffix_const - p_gc_incl) / one_m,
+                0.0)
+
+            not_clamped = (alpha_un < ALPHA_MAX).astype(jnp.float32)
+            G = jnp.exp(power)
+            gp = g_alpha * alpha_un * not_clamped  # dL/dpower (PIX, CHUNK)
+
+            gscratch[slot, j, 0:1, :] = jnp.sum(
+                gp * (ca * dx + cb * dy), axis=0, keepdims=True)
+            gscratch[slot, j, 1:2, :] = jnp.sum(
+                gp * (cc * dy + cb * dx), axis=0, keepdims=True)
+            gscratch[slot, j, 2:3, :] = jnp.sum(
+                gp * (-0.5 * dx * dx), axis=0, keepdims=True)
+            gscratch[slot, j, 3:4, :] = jnp.sum(
+                gp * (-dx * dy), axis=0, keepdims=True)
+            gscratch[slot, j, 4:5, :] = jnp.sum(
+                gp * (-0.5 * dy * dy), axis=0, keepdims=True)
+            gscratch[slot, j, 5:6, :] = jnp.sum(
+                g_alpha * G * not_clamped, axis=0, keepdims=True)
+            for c in range(3):
+                gscratch[slot, j, 6 + c:7 + c, :] = jnp.sum(
+                    g3[:, c:c + 1] * w, axis=0, keepdims=True)
+
+            @pl.when(ci == 0)
             def _():
-                get_dma(lax.rem(si + 1, 2), si + 1).start()
+                merge_dma().wait()
+                gscratch[0, 0] = gscratch[0, 0] + mscratch[:, :]
 
-            get_dma(slot, si).wait()
+            p_gc = p_gc + jnp.sum(wgc, axis=1, keepdims=True)
+            T, done = terms["T"], terms["done"]
 
-            # this slot's previous gradient write must drain before reuse,
-            # then the whole slot is zeroed: chunks past the segment and
-            # rows 9..15 must not leak stale data into the RMW merges
-            @pl.when(si >= 2)
-            def _():
-                gout_dma(slot, si - 2).wait()
-
-            gscratch[slot] = jnp.zeros((DCH, PROPW, CHUNK), jnp.float32)
-
-        p = scratch[slot, j]
-        terms = _chunk_terms(p, px, py, ci * CHUNK, head, total, logT,
-                             done, lane)
-        w, t_excl, alpha = terms["w"], terms["t_excl"], terms["alpha"]
-        alpha_un, power = terms["alpha_un"], terms["power"]
-        blend = terms["blend"]
-        dx, dy = terms["dx"], terms["dy"]
-        ca, cb, cc = terms["conic"]
-
-        # gc[p, k] = sum_c g3[p, c] * color[c, k]: three outer-product
-        # FMAs on the VPU (an MXU (3, CHUNK) dot costs a full pass)
-        gc = (g3[:, 0:1] * p[6:7, :] + g3[:, 1:2] * p[7:8, :]
-              + g3[:, 2:3] * p[8:9, :])         # (PIX, CHUNK)
-        wgc = w * gc
-        p_gc_incl = _cumsum_lanes(wgc, lane, exclusive=False) + p_gc
-
-        one_m = jnp.maximum(1.0 - alpha, 1e-6)
-        g_alpha = jnp.where(
-            blend, gc * t_excl - (suffix_const - p_gc_incl) / one_m, 0.0)
-
-        not_clamped = (alpha_un < ALPHA_MAX).astype(jnp.float32)
-        G = jnp.exp(power)
-        gp = g_alpha * alpha_un * not_clamped   # dL/dpower (PIX, CHUNK)
-
-        gscratch[slot, j, 0:1, :] = jnp.sum(
-            gp * (ca * dx + cb * dy), axis=0, keepdims=True)
-        gscratch[slot, j, 1:2, :] = jnp.sum(
-            gp * (cc * dy + cb * dx), axis=0, keepdims=True)
-        gscratch[slot, j, 2:3, :] = jnp.sum(
-            gp * (-0.5 * dx * dx), axis=0, keepdims=True)
-        gscratch[slot, j, 3:4, :] = jnp.sum(
-            gp * (-dx * dy), axis=0, keepdims=True)
-        gscratch[slot, j, 4:5, :] = jnp.sum(
-            gp * (-0.5 * dy * dy), axis=0, keepdims=True)
-        gscratch[slot, j, 5:6, :] = jnp.sum(
-            g_alpha * G * not_clamped, axis=0, keepdims=True)
-        for c in range(3):
-            gscratch[slot, j, 6 + c:7 + c, :] = jnp.sum(
-                g3[:, c:c + 1] * w, axis=0, keepdims=True)
-
-        @pl.when(ci == 0)
-        def _():
-            merge_dma().wait()
-            gscratch[0, 0] = gscratch[0, 0] + mscratch[:, :]
-
-        # flush the slot at the step's last chunk (or the segment's last)
-        @pl.when((j == DCH - 1) | (ci == nchunks - 1))
-        def _():
-            gout_dma(slot, si).start()
-
-        return (terms["logT"], terms["done"],
-                p_gc + jnp.sum(wgc, axis=1, keepdims=True))
+        gout_dma(slot, si).start()
+        return si + 1, T, done, p_gc
 
     z1 = jnp.zeros((PIX, 1), jnp.float32)
-    lax.fori_loop(0, nchunks, body, (z1, z1, z1))
+    si_f, _, _, _ = lax.while_loop(
+        cond, step, (jnp.zeros((), jnp.int32),
+                     jnp.ones((PIX, 1), jnp.float32), z1, z1))
+
+    # drain: the possibly-in-flight input prefetch for step si_f, then the
+    # last (up to) two outstanding gout flushes
+    @pl.when(si_f * DCH < nchunks)
+    def _():
+        get_dma(lax.rem(si_f, 2), si_f).wait()
 
     def drain(k, _):
         gout_dma(lax.rem(k, 2), k).wait()
         return 0
 
-    lax.fori_loop(jnp.maximum(nsteps - 2, 0), nsteps, drain, 0)
+    lax.fori_loop(jnp.maximum(si_f - 2, 0), si_f, drain, 0)
 
 
 def _grids(height, width):
     return -(-height // TILE), -(-width // TILE)
 
 
-def _run_fwd(props, start, count, tiles_y, tiles_x, interpret):
-    num_tiles = tiles_y * tiles_x
+def _run_fwd(props, start, count, batch, tiles_y, tiles_x, interpret):
+    num_tiles = batch * tiles_y * tiles_x
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(tiles_y, tiles_x),
+        grid=(batch, tiles_y, tiles_x),
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
         out_specs=pl.BlockSpec(
-            (1, PIX, OUTC), lambda i, j, *_: (i * tiles_x + j, 0, 0),
+            (1, PIX, OUTC),
+            lambda b, i, j, *_: ((b * tiles_y + i) * tiles_x + j, 0, 0),
             memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2, DCH, PROPW, CHUNK), jnp.float32),
@@ -512,18 +559,21 @@ def _run_fwd(props, start, count, tiles_y, tiles_x, interpret):
     )(start, count, props)
 
 
-def _run_bwd(props, start, count, res, g_res, tiles_y, tiles_x, interpret):
+def _run_bwd(props, start, count, res, g_res, batch, tiles_y, tiles_x,
+             interpret):
     zeros = jnp.zeros_like(props)
+
+    def out_map(b, i, j, *_):
+        return ((b * tiles_y + i) * tiles_x + j, 0, 0)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(tiles_y, tiles_x),
+        grid=(batch, tiles_y, tiles_x),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),              # props
-            pl.BlockSpec((1, PIX, OUTC),
-                         lambda i, j, *_: (i * tiles_x + j, 0, 0),
+            pl.BlockSpec((1, PIX, OUTC), out_map,
                          memory_space=pltpu.VMEM),             # residual out
-            pl.BlockSpec((1, PIX, OUTC),
-                         lambda i, j, *_: (i * tiles_x + j, 0, 0),
+            pl.BlockSpec((1, PIX, OUTC), out_map,
                          memory_space=pltpu.VMEM),             # cotangent
             pl.BlockSpec(memory_space=pltpu.HBM),              # zeros
         ],
@@ -546,29 +596,33 @@ def _run_bwd(props, start, count, res, g_res, tiles_y, tiles_x, interpret):
     )(start, count, props, res, g_res, zeros)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def _composite_core(props, start_f, count_f, tiles_y, tiles_x, interpret):
-    """(nch, 16, 128) props + (T,) segment starts/counts -> (T, PIX, 4).
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _composite_core(props, start_f, count_f, batch, tiles_y, tiles_x,
+                    interpret):
+    """(nch, 16, 128) props + (B*T,) segment starts/counts
+    -> (B*T, PIX, 4).
 
     start/count travel as f32 so the custom_vjp cotangent structure stays
     all-float (they are exact integers well below 2^24).
     """
     return _run_fwd(props, start_f.astype(jnp.int32),
-                    count_f.astype(jnp.int32), tiles_y, tiles_x, interpret)
+                    count_f.astype(jnp.int32), batch, tiles_y, tiles_x,
+                    interpret)
 
 
-def _composite_core_fwd(props, start_f, count_f, tiles_y, tiles_x,
+def _composite_core_fwd(props, start_f, count_f, batch, tiles_y, tiles_x,
                         interpret):
     out = _run_fwd(props, start_f.astype(jnp.int32),
-                   count_f.astype(jnp.int32), tiles_y, tiles_x, interpret)
+                   count_f.astype(jnp.int32), batch, tiles_y, tiles_x,
+                   interpret)
     return out, (props, start_f, count_f, out)
 
 
-def _composite_core_bwd(tiles_y, tiles_x, interpret, saved, g_out):
+def _composite_core_bwd(batch, tiles_y, tiles_x, interpret, saved, g_out):
     props, start_f, count_f, out = saved
     gprops = _run_bwd(props, start_f.astype(jnp.int32),
                       count_f.astype(jnp.int32), out, g_out,
-                      tiles_y, tiles_x, interpret)
+                      batch, tiles_y, tiles_x, interpret)
     return gprops, jnp.zeros_like(start_f), jnp.zeros_like(count_f)
 
 
@@ -583,22 +637,31 @@ _composite_core.defvjp(_composite_core_fwd, _composite_core_bwd)
 def render_sorted(stacked, height: int, width: int, max_tiles: int,
                   max_per_tile: int, pair_budget, bg_color,
                   interpret: bool = False):
-    """Full pallas path: (C, 16) stacked rows -> rendered tile image.
+    """Full pallas path: (B, C, 16) stacked rows -> rendered tile images.
 
-    Returns (image (H, W, 3), transmittance (H, W, 1), num_dup_dropped,
-    num_pair_dropped).  Differentiable w.r.t. stacked columns 0..8 (the
-    binning keys in columns 9..10 are positional, gradient-free — matching
-    the CUDA rasterizer, which treats the sort order as fixed).
+    The whole batch runs through ONE pair sort (global tile ids offset by
+    b * tiles) and ONE kernel launch with a (B, ty, tx) grid — the fused
+    replacement for vmapping the per-sample pipeline, whose sort/scatter
+    stages cost ~60 ms per extra sample at 1024^2 (round-1 ROADMAP #9).
+
+    Returns (image (B, H, W, 3), transmittance (B, H, W, 1), and
+    per-sample counters num_dup_dropped (B,), num_pair_dropped (B,)).
+    Differentiable w.r.t. stacked columns 0..8 (the binning keys in
+    columns 9..10 are positional, gradient-free — matching the CUDA
+    rasterizer, which treats the sort order as fixed).
     """
-    n = stacked.shape[0]
+    batch, n = stacked.shape[0], stacked.shape[1]
     tiles_y, tiles_x = _grids(height, width)
     num_tiles = tiles_y * tiles_x
+    flat = stacked.reshape(batch * n, PROPW)
 
-    mean2d = stacked[:, 0:2]
-    depth = stacked[:, 9]
-    radius = stacked[:, 10]
-    x_min, y_min, span_x, total, total_uncapped, num_dropped = tile_rects(
+    mean2d = flat[:, 0:2]
+    depth = flat[:, 9]
+    radius = flat[:, 10]
+    x_min, y_min, span_x, total, total_uncapped, _ = tile_rects(
         mean2d, radius, tiles_y, tiles_x, TILE, max_tiles)
+    num_dropped = jnp.sum((total_uncapped - total).reshape(batch, n),
+                          axis=1)
 
     k = jnp.arange(max_tiles, dtype=jnp.int32)
     span_x_safe = jnp.maximum(span_x, 1)[:, None]
@@ -606,23 +669,30 @@ def render_sorted(stacked, height: int, width: int, max_tiles: int,
     dy = k[None, :] // span_x_safe
     pair_live = k[None, :] < total[:, None]
     tile_id = (y_min[:, None] + dy) * tiles_x + (x_min[:, None] + dx)
-    tile_id = jnp.where(pair_live, tile_id, num_tiles)   # sentinel
+    # globalize per sample; one shared sentinel keeps dead pairs last
+    boff = jnp.repeat(jnp.arange(batch, dtype=jnp.int32) * num_tiles, n)
+    tile_id = tile_id + boff[:, None]
+    tile_id = jnp.where(pair_live, tile_id, batch * num_tiles)
 
-    nK = n * max_tiles
-    p_lim = nK if pair_budget is None else min(int(pair_budget), nK)
+    nK = batch * n * max_tiles
+    p_lim = nK if pair_budget is None else min(batch * int(pair_budget),
+                                               nK)
     p_chunks = -(-p_lim // CHUNK)
 
     depth_b = jnp.broadcast_to(
-        lax.stop_gradient(depth)[:, None], (n, max_tiles)).reshape(-1)
+        lax.stop_gradient(depth)[:, None],
+        (batch * n, max_tiles)).reshape(-1)
     props3d, start_f, count_f = _pair_sort(
-        stacked, tile_id.reshape(-1).astype(jnp.float32), depth_b,
-        max_tiles, p_chunks, num_tiles, max_per_tile)
+        flat, tile_id.reshape(-1).astype(jnp.float32), depth_b,
+        max_tiles, p_chunks, batch * num_tiles, max_per_tile)
 
-    num_pair_dropped = (jnp.sum(total)
-                        - jnp.sum(count_f).astype(jnp.int32))
+    num_pair_dropped = (
+        jnp.sum(total.reshape(batch, n), axis=1)
+        - jnp.sum(count_f.reshape(batch, num_tiles),
+                  axis=1).astype(jnp.int32))
 
-    out = _composite_core(props3d, start_f, count_f, tiles_y, tiles_x,
-                          interpret)
+    out = _composite_core(props3d, start_f, count_f, batch, tiles_y,
+                          tiles_x, interpret)
 
     bg = jnp.asarray(bg_color, jnp.float32)
     img_tiles = out[..., 0:3] + out[..., 3:4] * bg[None, None, :]
@@ -630,10 +700,10 @@ def render_sorted(stacked, height: int, width: int, max_tiles: int,
 
     def untile(x):
         ch = x.shape[-1]
-        x = x.reshape(tiles_y, tiles_x, TILE, TILE, ch)
-        x = x.transpose(0, 2, 1, 3, 4)
-        return x.reshape(tiles_y * TILE, tiles_x * TILE, ch)[:height,
-                                                             :width]
+        x = x.reshape(batch, tiles_y, tiles_x, TILE, TILE, ch)
+        x = x.transpose(0, 1, 3, 2, 4, 5)
+        return x.reshape(batch, tiles_y * TILE,
+                         tiles_x * TILE, ch)[:, :height, :width]
 
     return (untile(img_tiles), untile(tfin_tiles), num_dropped,
             num_pair_dropped)

@@ -88,3 +88,71 @@ def test_pallas_empty_scene(rng):
         np.asarray(img), np.broadcast_to(np.asarray(bg), (RES, RES, 3)),
         atol=1e-6)
     np.testing.assert_allclose(np.asarray(aux.transmittance), 1.0)
+
+
+def test_batched_fused_matches_per_sample(rng):
+    """rasterize() fuses the whole batch through one pair sort + one
+    kernel launch; images, gradients, and per-sample drop counters must
+    match the single-sample path."""
+    import jax
+    from gps_gaussian_tpu.geometry import cameras
+    from gps_gaussian_tpu.kernels.rasterizer import (RasterizeConfig,
+                                                     rasterize,
+                                                     rasterize_single)
+    from gps_gaussian_tpu.utils.containers import FlatGaussians
+
+    B, N, R = 2, 150, 48
+    def mk():
+        rot = rng.normal(size=(N, 4)).astype(np.float32)
+        rot /= np.linalg.norm(rot, axis=1, keepdims=True)
+        return dict(
+            xyz=rng.normal(0, 0.25, (N, 3)).astype(np.float32), rot=rot,
+            scale=rng.uniform(0.005, 0.05, (N, 3)).astype(np.float32),
+            opacity=rng.uniform(0.1, 0.95, (N, 1)).astype(np.float32),
+            rgb=rng.uniform(0, 1, (N, 3)).astype(np.float32),
+            valid=np.ones((N,), np.float32))
+    gs = [mk() for _ in range(B)]
+    gauss = FlatGaussians(**{k: jnp.asarray(np.stack([g[k] for g in gs]))
+                             for k in gs[0]})
+    cams = []
+    for b in range(B):
+        K = np.array([[0.8 * R, 0, R / 2], [0, 0.8 * R, R / 2],
+                      [0, 0, 1]], np.float32)
+        E = np.eye(3, 4, dtype=np.float32)
+        E[2, 3] = 2.0 + 0.3 * b
+        cams.append(cameras.camera_from_intr_extr(K, E, R, R))
+    cam = cameras.make_novel_camera(cams, R, R)
+    bg = jnp.asarray([0.1, 0.2, 0.3], jnp.float32)
+    cfg = RasterizeConfig(backend="pallas", interpret=True, fg_cap=128,
+                          max_tiles_per_gaussian=16, max_per_tile=256)
+
+    imgs, aux = rasterize(gauss, cam, bg, cfg)
+    for b in range(B):
+        img1, aux1 = rasterize_single(
+            gauss.xyz[b], gauss.rot[b], gauss.scale[b], gauss.opacity[b],
+            gauss.rgb[b], gauss.valid[b], cam.view[b], cam.proj[b],
+            cam.tanfovx[b], cam.tanfovy[b], R, R, bg, cfg)
+        np.testing.assert_allclose(np.asarray(imgs[b]), np.asarray(img1),
+                                   atol=1e-6)
+        assert int(aux.num_pair_dropped[b]) == int(aux1.num_pair_dropped)
+        assert int(aux.num_fg_dropped[b]) == int(aux1.num_fg_dropped)
+
+    def loss_b(op):
+        i, _ = rasterize(gauss.replace(opacity=op), cam, bg, cfg)
+        return jnp.sum(i ** 2)
+
+    def loss_s(op):
+        tot = 0.0
+        for b in range(B):
+            i, _ = rasterize_single(
+                gauss.xyz[b], gauss.rot[b], gauss.scale[b], op[b],
+                gauss.rgb[b], gauss.valid[b], cam.view[b], cam.proj[b],
+                cam.tanfovx[b], cam.tanfovy[b], R, R, bg, cfg)
+            tot = tot + jnp.sum(i ** 2)
+        return tot
+
+    gb = jax.grad(loss_b)(gauss.opacity)
+    gs_ = jax.grad(loss_s)(gauss.opacity)
+    s = float(jnp.max(jnp.abs(gs_))) + 1e-8
+    np.testing.assert_allclose(np.asarray(gb) / s, np.asarray(gs_) / s,
+                               atol=1e-5)
