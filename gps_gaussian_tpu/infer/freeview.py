@@ -27,16 +27,22 @@ from gps_gaussian_tpu.utils.containers import (FlatGaussians, NovelCamera,
 
 
 class FreeviewRenderer:
-    """Stereo forward once -> pixel-aligned Gaussians -> render any view."""
+    """Stereo forward once -> pixel-aligned Gaussians -> render any view.
+
+    Pass a multi-device `mesh` to shard the novel view's tile rows over
+    chips (kernels/rasterizer/sharded.py) — the multi-chip path for 2K+
+    targets (SURVEY.md §2.4 sequence-parallel analogue)."""
 
     def __init__(self, cfg: Config, params, dataset: Optional[
-            StereoHumanDataset] = None):
+            StereoHumanDataset] = None, mesh=None):
         self.cfg = cfg
         self.params = params
         self.model = make_model(cfg, with_gs=True)
         self.rcfg = make_raster_config(cfg)
         self.bg = jnp.asarray(cfg.dataset.bg_color, jnp.float32)
         self.dataset = dataset
+        self.mesh = mesh if (mesh is not None
+                             and mesh.devices.size > 1) else None
 
         self._forward = jax.jit(self._forward_impl)
         self._render = {}
@@ -55,8 +61,16 @@ class FreeviewRenderer:
         """Returns (images (1,H,W,3), RasterizeAux with drop counters)."""
         key = (camera.height, camera.width)
         if key not in self._render:
-            self._render[key] = jax.jit(
-                lambda g, c: rasterize(g, c, self.bg, self.rcfg))
+            if self.mesh is not None:
+                from gps_gaussian_tpu.kernels.rasterizer.sharded import \
+                    rasterize_tile_sharded
+
+                self._render[key] = jax.jit(
+                    lambda g, c: rasterize_tile_sharded(
+                        g, c, self.bg, self.rcfg, self.mesh))
+            else:
+                self._render[key] = jax.jit(
+                    lambda g, c: rasterize(g, c, self.bg, self.rcfg))
         img, aux = self._render[key](gauss, camera)
         drops = int(aux.num_dropped.sum() + aux.num_fg_dropped.sum()
                     + aux.num_pair_dropped.sum())
