@@ -56,18 +56,19 @@ def _sample_lastdim(vol: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     Align-corners semantics: integer x hits bin centers; taps outside
     [0, S-1] contribute zero — identical to the grid_sample call in the
     reference's lookup (core/corr.py:139-145 via bilinear_sampler).
+
+    TPU formulation: a per-pixel gather along the minor (lane) axis is a
+    dynamic lane shuffle — the slowest possible addressing pattern (it
+    was ~70 ms of the 1024^2 forward).  S is small (<= W/8 = 128-ish), so
+    linear interpolation is instead computed DENSELY: a triangle-kernel
+    weight over the whole S axis contracted by a sum — pure elementwise
+    VPU work that XLA fuses into the reduction, with a dense backward
+    (no scatter-add) for free.
     """
-    s = vol.shape[-1]
-    x0 = jnp.floor(x)
-    fx = (x - x0).astype(vol.dtype)
-
-    def tap(xi):
-        inside = (xi >= 0) & (xi <= s - 1)
-        idx = jnp.clip(xi, 0, s - 1).astype(jnp.int32)
-        vals = jnp.take_along_axis(vol, idx, axis=-1)
-        return vals * inside.astype(vol.dtype)
-
-    return tap(x0) * (1.0 - fx) + tap(x0 + 1) * fx
+    sgrid = jnp.arange(vol.shape[-1], dtype=vol.dtype)
+    base = x.astype(vol.dtype)[..., None] - sgrid       # (B, H, W, T, S)
+    w = jnp.maximum(0.0, 1.0 - jnp.abs(base))
+    return jnp.sum(vol[..., None, :] * w, axis=-1)
 
 
 def lookup_corr_pyramid(pyramid: Sequence[jnp.ndarray], coords_x: jnp.ndarray,
