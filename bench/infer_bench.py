@@ -39,15 +39,20 @@ def main():
     model = make_model(cfg, with_gs=True)
     params = model.init(jax.random.PRNGKey(0), batch, iters=3,
                         test_mode=True)
+    from gps_gaussian_tpu.infer.freeview import compact_valid
+
+    fg_cap = max(res * res // 4, 1 << 14)
+    # compaction runs once per frame in the forward (freeview split);
+    # per-view rendering skips its own fg compaction
     rcfg = RasterizeConfig(max_tiles_per_gaussian=8, max_per_tile=2048,
-                           fg_cap=max(res * res // 4, 1 << 14),
                            pair_budget=3 * res * res // 2)
 
     def forward(batch_img_l, batch_img_r):
         b = batch.replace(lmain=batch.lmain.replace(img=batch_img_l),
                           rmain=batch.rmain.replace(img=batch_img_r))
         out = model.apply(params, b, iters=3, test_mode=True)
-        return out.lmain_gs.flatten().concat(out.rmain_gs.flatten())
+        gauss = out.lmain_gs.flatten().concat(out.rmain_gs.flatten())
+        return compact_valid(gauss, fg_cap)[0]
 
     def render(gauss):
         return rasterize(gauss, batch.novel.camera, jnp.zeros(3), rcfg)[0]

@@ -81,9 +81,19 @@ def main():
         rot, scale, op = gs.apply(gs_params, img, depth_in, f)
         return op[0, 0, 0, 0]
 
+    depth_enc = UnetExtractor(dtype=dtype)
+    de_params = {"params": params["params"]["gs_regresser"]
+                 ["depth_encoder"]}
+
+    def depth_enc_only(img):
+        f = depth_enc.apply(de_params, depth_in)
+        return (f[0][0, 0, 0, 0] + 0.0 * img[0, 0, 0, 0]).astype(
+            jnp.float32)
+
     print(f"== model stages @{res}^2, bf16={args.bf16} ==")
     prev = 0.0
     for name, fn in (("encoder", encoder_only), ("enc+raft", thru_raft),
+                     ("depth_enc", depth_enc_only),
                      ("enc+gsnet", gsnet_only),
                      ("full_fwd", full_forward)):
         ms = timed_loop(lambda t, fn=fn: fn(t[0]), (image,))

@@ -10,6 +10,7 @@ sweeps possible.
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Optional
 
 import jax
@@ -26,6 +27,32 @@ from gps_gaussian_tpu.utils.containers import (FlatGaussians, NovelCamera,
                                                StereoSample)
 
 
+def compact_valid(gauss: FlatGaussians, cap: int):
+    """Pack valid Gaussians into the first `cap` slots (batch 1).
+
+    Foreground masks are camera-independent, so freeview sweeps compact
+    ONCE per frame here instead of once per rendered view inside the
+    rasterizer (the per-view argsort+gather was ~13 ms at 1024^2).
+    Returns (compacted FlatGaussians, num_dropped)."""
+    live = gauss.valid[0] > 0.0
+    n = live.shape[0]
+    order = jnp.argsort(jnp.logical_not(live))
+    if cap > n:
+        order = jnp.concatenate(
+            [order, jnp.zeros((cap - n,), order.dtype)])
+    idx = order[:cap]
+    n_live = jnp.sum(live.astype(jnp.int32))
+    n_kept = jnp.minimum(n_live, cap)
+    slot_live = (jnp.arange(cap, dtype=jnp.int32)
+                 < n_kept).astype(jnp.float32)
+    out = FlatGaussians(
+        xyz=gauss.xyz[:, idx], rgb=gauss.rgb[:, idx],
+        rot=gauss.rot[:, idx], scale=gauss.scale[:, idx],
+        opacity=gauss.opacity[:, idx],
+        valid=gauss.valid[:, idx] * slot_live[None])
+    return out, n_live - n_kept
+
+
 class FreeviewRenderer:
     """Stereo forward once -> pixel-aligned Gaussians -> render any view.
 
@@ -38,7 +65,12 @@ class FreeviewRenderer:
         self.cfg = cfg
         self.params = params
         self.model = make_model(cfg, with_gs=True)
-        self.rcfg = make_raster_config(cfg)
+        rcfg = make_raster_config(cfg)
+        # compaction moves to the once-per-frame forward (compact_valid);
+        # per-view rendering then skips its own fg compaction entirely
+        self._fg_cap = rcfg.fg_cap
+        self.rcfg = (dataclasses.replace(rcfg, fg_cap=None)
+                     if rcfg.fg_cap is not None else rcfg)
         self.bg = jnp.asarray(cfg.dataset.bg_color, jnp.float32)
         self.dataset = dataset
         self.mesh = mesh if (mesh is not None
@@ -48,14 +80,25 @@ class FreeviewRenderer:
         self._render = {}
 
     # -------------------------------------------------------------- core
-    def _forward_impl(self, batch: StereoSample) -> FlatGaussians:
+    def _forward_impl(self, batch: StereoSample):
         out = self.model.apply(self.params, batch,
                                iters=self.cfg.raft.val_iters,
                                test_mode=True)
-        return out.lmain_gs.flatten().concat(out.rmain_gs.flatten())
+        gauss = out.lmain_gs.flatten().concat(out.rmain_gs.flatten())
+        if self._fg_cap is None:
+            return gauss, jnp.zeros((), jnp.int32)
+        return compact_valid(gauss, self._fg_cap)
 
     def gaussians(self, batch: StereoSample) -> FlatGaussians:
-        return self._forward(batch)
+        gauss, n_dropped = self._forward(batch)
+        drops = int(n_dropped)
+        if drops:
+            import logging
+
+            logging.getLogger("gps_tpu.infer").warning(
+                "foreground compaction dropped %d valid gaussians this "
+                "frame (raise raster.fg_cap)", drops)
+        return gauss
 
     def render(self, gauss: FlatGaussians, camera: NovelCamera):
         """Returns (images (1,H,W,3), RasterizeAux with drop counters)."""
