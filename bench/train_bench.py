@@ -21,6 +21,13 @@ def main():
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--bf16", action=argparse.BooleanOptionalAction,
                     default=True)
+    ap.add_argument("--hr", action="store_true",
+                    help="2x hi-res novel target (the production stage-2 "
+                         "regime: reference config/stage2.yaml use_hr_img)")
+    ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--check-drops", action="store_true",
+                    help="run one eager step first and report the "
+                         "capacity-cap drop counters (extra compile)")
     args = ap.parse_args()
 
     import jax
@@ -32,23 +39,32 @@ def main():
                                                 make_raster_config,
                                                 make_train_step)
 
-    n = 2 * args.res * args.res
+    novel_res = args.res * 2 if args.hr else args.res
+    # hr splat footprints cover ~4x the tiles of the source res
     cfg = load_config(
-        None, batch_size=args.batch,
+        None, batch_size=args.batch, remat=args.remat,
         raft=dict(mixed_precision=args.bf16),
-        raster=dict(max_tiles_per_gaussian=8, max_per_tile=2048,
+        raster=dict(max_tiles_per_gaussian=16 if args.hr else 8,
+                    max_per_tile=4096 if args.hr else 2048,
                     fg_cap=max(args.res * args.res // 4, 1 << 14),
-                    pair_budget=3 * args.res * args.res // 2),
-        dataset=dict(src_res=args.res))
+                    pair_budget=(3 * novel_res * novel_res // 2
+                                 if args.hr
+                                 else 3 * args.res * args.res // 2)),
+        dataset=dict(src_res=args.res, use_hr_img=args.hr))
 
     batch = fake_stereo_batch(batch=args.batch, res=args.res,
-                              novel_res=args.res)
+                              novel_res=novel_res)
     model = make_model(cfg, with_gs=True)
     params = model.init(jax.random.PRNGKey(0), batch,
                         iters=cfg.raft.train_iters)
     state = state_lib.create_state(cfg, params)
     rcfg = make_raster_config(cfg)
     step_fn = make_train_step(model, cfg, "stage2", rcfg)
+
+    drops = None
+    if args.check_drops:
+        _, metrics0 = jax.jit(step_fn)(state, batch)
+        drops = {k: int(v) for k, v in metrics0.items() if "drop" in k}
 
     # tunnel-safe timing: chained fori_loop inside one jit, host-read sync,
     # two loop lengths to cancel fixed RPC overhead (see bench.py)
@@ -70,11 +86,13 @@ def main():
         times[n] = time.perf_counter() - t0
     dt = (times[n_big] - times[n_small]) / (n_big - n_small)
     print(json.dumps({
-        "metric": f"stage2_train_pairs_per_s_per_chip_{args.res}",
+        "metric": ("stage2_train_pairs_per_s_per_chip_"
+                   f"{args.res}{'_hr' + str(novel_res) if args.hr else ''}"),
         "value": round(args.batch / dt, 3),
         "unit": "pairs/s",
         "vs_baseline": None,
         "step_ms": round(dt * 1e3, 1),
+        **({"drops": drops} if drops is not None else {}),
     }))
 
 

@@ -74,14 +74,22 @@ def bin_gaussians(mean2d: jnp.ndarray, depth: jnp.ndarray,
     slot_flat = jnp.arange(
         n * max_tiles_per_gaussian, dtype=jnp.int32)
 
-    tile_s, _, slot_s = lax.sort(
-        (tile_flat, depth_flat, slot_flat), num_keys=2, is_stable=True)
+    # single packed (tile | quantized depth) key — the same packing as the
+    # pallas pair sort so both backends produce identical pair order
+    from gps_gaussian_tpu.kernels.rasterizer.pallas_kernel import \
+        pack_sort_key
+
+    key_flat, qbits = pack_sort_key(tile_flat, depth_flat, num_tiles)
+    key_s, slot_s = lax.sort((key_flat, slot_flat), num_keys=1,
+                             is_stable=True)
+    tile_s = key_s >> qbits
     # validity needs no sort operand: invalid pairs carry the sentinel id
     valid_s = tile_s < num_tiles
 
-    tile_range = jnp.arange(num_tiles, dtype=jnp.int32)
-    start = jnp.searchsorted(tile_s, tile_range, side="left").astype(jnp.int32)
-    end = jnp.searchsorted(tile_s, tile_range, side="right").astype(jnp.int32)
+    tile_range = jnp.arange(num_tiles + 1, dtype=jnp.int32) * (1 << qbits)
+    bounds = jnp.searchsorted(key_s, tile_range,
+                              side="left").astype(jnp.int32)
+    start, end = bounds[:-1], bounds[1:]
 
     return TileBins(gauss_index=slot_s // max_tiles_per_gaussian,
                     pair_slot=slot_s, pair_valid=valid_s,

@@ -137,6 +137,34 @@ def tile_rects(mean2d, radius, tiles_y: int, tiles_x: int, tile: int,
     return x_min, y_min, span_x, total_capped, total, num_dropped
 
 
+def pack_sort_key(tile_i, depth, total_tiles: int):
+    """(tile, depth) packed into ONE i32 sort key.
+
+    The CUDA rasterizer radix-sorts 64-bit (tile << 32 | float-bits) keys;
+    on TPU a single 32-bit key halves the comparator work and drops the
+    depth operand from the sort entirely.  Depth is quantized to the bits
+    left under the tile id (>= 13 at 1024^2, still sub-micron bins for
+    metre-scale scenes); ties resolve by the stable sort's slot order.
+    Dead pairs carry the sentinel tile and sort last unchanged.
+    """
+    qbits = 31 - int(total_tiles + 1).bit_length()
+    live = tile_i < total_tiles
+    dmin = jnp.min(jnp.where(live, depth, jnp.inf))
+    dmin = jnp.where(jnp.isfinite(dmin), dmin, 0.0)
+    dmax = jnp.max(jnp.where(live, depth, -jnp.inf))
+    dmax = jnp.where(jnp.isfinite(dmax), dmax, 1.0)
+    # dead pairs may carry NaN/garbage depth (culled gaussians): mask
+    # BEFORE quantizing or their keys corrupt the sort order
+    dd = jnp.where(live, depth, dmin)
+    scale = (2.0 ** qbits - 1.0) / jnp.maximum(dmax - dmin, 1e-20)
+    # clamp in INTEGERS: the float bound 2^qbits - 1 is not representable
+    # in f32 for qbits > 24, and a rounded-up clip bound would spill the
+    # max-depth pair into the NEXT tile's key range
+    qd = jnp.clip(jnp.maximum((dd - dmin) * scale, 0.0).astype(jnp.int32),
+                  0, (1 << qbits) - 1)
+    return tile_i * (1 << qbits) + qd, qbits
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def _pair_sort(stacked, tile_f, depth, K: int, p_chunks: int,
                num_tiles: int, max_per_tile: int):
@@ -165,16 +193,18 @@ def _pair_sort_impl(stacked, tile_f, depth, K, p_chunks, num_tiles,
     P = p_chunks * CHUNK
     tile_i = lax.stop_gradient(tile_f).astype(jnp.int32)
     depth = lax.stop_gradient(depth)
+    key, qbits = pack_sort_key(tile_i, depth, num_tiles)
     slot = jnp.arange(nK, dtype=jnp.int32)
     ops = tuple(jnp.broadcast_to(stacked[:, c:c + 1], (n, K)).reshape(-1)
                 for c in range(NPROP))
-    sorted_ = lax.sort((tile_i, depth, slot) + ops, num_keys=2,
-                       is_stable=True)
-    tile_s, slot_s = sorted_[0], sorted_[2]
-    props_s = sorted_[3:]
+    sorted_ = lax.sort((key, slot) + ops, num_keys=1, is_stable=True)
+    key_s, slot_s = sorted_[0], sorted_[1]
+    props_s = sorted_[2:]
 
+    # tile boundaries directly on the packed keys: tile t's segment is
+    # [searchsorted(t << qbits), searchsorted((t+1) << qbits))
     bounds = jnp.searchsorted(
-        tile_s, jnp.arange(num_tiles + 1, dtype=jnp.int32),
+        key_s, jnp.arange(num_tiles + 1, dtype=jnp.int32) * (1 << qbits),
         side="left").astype(jnp.int32)
     start = jnp.minimum(bounds[:-1], P)
     end = jnp.minimum(bounds[1:], P)
