@@ -375,3 +375,31 @@ def test_hi_res_2048_render_both_backends(rng):
                                np.asarray(img_j[::17, ::17]), atol=1e-5)
     # foreground actually rendered (not background everywhere)
     assert float(jnp.abs(img_p - 0.1).max()) > 0.1
+
+
+def test_pack_sort_key_edges(rng):
+    """Key packing: max-depth stays in its tile (the f32 2^qbits-1 clip
+    bound bug), dead pairs sort last regardless of garbage depth."""
+    from gps_gaussian_tpu.kernels.rasterizer.pallas_kernel import \
+        pack_sort_key
+
+    total_tiles = 4096
+    tile = jnp.asarray([0, 0, 1, 4095, 4096, 4096], jnp.int32)
+    depth = jnp.asarray([1.0, 3.0, 2.0, 3.0, np.nan, -1e30], jnp.float32)
+    key, qbits = pack_sort_key(tile, depth, total_tiles)
+    key = np.asarray(key)
+    assert qbits == 31 - (total_tiles + 1).bit_length()
+    # max-depth pair of tile 0 must still be BELOW tile 1's range
+    assert key[1] < (1 << qbits), key[1]
+    assert (1 << qbits) <= key[2] < 2 * (1 << qbits)
+    # dead pairs (sentinel tile) sort after every live pair, NaN or not
+    assert key[4] >= total_tiles * (1 << qbits)
+    assert key[5] >= total_tiles * (1 << qbits)
+    # no i32 overflow anywhere
+    assert (key >= 0).all()
+
+    # all-dead input must not produce NaN/negative keys
+    key2, _ = pack_sort_key(jnp.full((4,), total_tiles, jnp.int32),
+                            jnp.full((4,), np.nan, jnp.float32),
+                            total_tiles)
+    assert (np.asarray(key2) >= total_tiles * (1 << qbits)).all()
