@@ -82,7 +82,11 @@ def _stacked_flow_gt(batch: StereoSample):
 
 
 def make_train_step(model: GPSGaussianModel, cfg: Config, stage: str,
-                    rcfg: RasterizeConfig):
+                    rcfg: RasterizeConfig, axis_name: Optional[str] = None):
+    """One SGD step.  With axis_name set, the step body is written for
+    shard_map over that mesh axis: per-chip gradients/metrics are
+    pmean-reduced, so the step runs identical param updates on every chip
+    (see make_sharded_train_step)."""
     bg = jnp.asarray(cfg.dataset.bg_color, jnp.float32)
 
     def apply_model(params, batch):
@@ -110,11 +114,38 @@ def make_train_step(model: GPSGaussianModel, cfg: Config, stage: str,
     def train_step(state: state_lib.TrainState, batch: StereoSample):
         (loss, metrics), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params, batch)
-        new_state = state.apply_gradients(grads)
         metrics = dict(metrics, loss=loss)
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+            # drop counters are batch SUMS; everything else batch means
+            metrics = {k: (jax.lax.psum(v, axis_name) if "drop" in k
+                           else jax.lax.pmean(v, axis_name))
+                       for k, v in metrics.items()}
+        new_state = state.apply_gradients(grads)
         return new_state, metrics
 
     return train_step
+
+
+def make_sharded_train_step(model: GPSGaussianModel, cfg: Config,
+                            stage: str, rcfg: RasterizeConfig, mesh,
+                            axis_name: str = "data"):
+    """The multi-chip train step: shard_map over the ('data',) mesh.
+
+    jit's automatic SPMD partitioner cannot split a pallas_call, so on a
+    real multi-chip mesh the Pallas rasterizer must run per-chip under
+    shard_map: the batch shards over `axis_name`, parameters/optimizer
+    state replicate, gradients pmean over ICI inside the step (the
+    all-reduce the reference never had — SURVEY.md §2.4 DP row).
+    Numerically identical to the single-chip step for equal shard sizes.
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    step = make_train_step(model, cfg, stage, rcfg, axis_name=axis_name)
+    return shard_map(step, mesh=mesh,
+                     in_specs=(P(), P(axis_name)),
+                     out_specs=(P(), P()), check_vma=False)
 
 
 def make_eval_step(model: GPSGaussianModel, cfg: Config, stage: str,
@@ -225,9 +256,18 @@ class Trainer:
                                                       self.state)
             log.info("resumed at step %d", int(self.state.step))
 
-        self.train_step = jax.jit(
-            make_train_step(self.model, cfg, self.stage, self.rcfg),
-            donate_argnums=(0,))
+        if self.mesh.devices.size > 1:
+            # shard_map over ('data',): jit's automatic partitioner cannot
+            # split a pallas_call, so multi-chip training runs the step
+            # per-chip with an in-step gradient pmean
+            self.train_step = jax.jit(
+                make_sharded_train_step(self.model, cfg, self.stage,
+                                        self.rcfg, self.mesh),
+                donate_argnums=(0,))
+        else:
+            self.train_step = jax.jit(
+                make_train_step(self.model, cfg, self.stage, self.rcfg),
+                donate_argnums=(0,))
         self.eval_step = jax.jit(
             make_eval_step(self.model, cfg, self.stage, self.rcfg))
 

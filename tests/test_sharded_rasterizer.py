@@ -88,3 +88,51 @@ def test_tile_sharded_non_divisible_height(rng):
         cam.tanfovx[0], cam.tanfovy[0], res, res, bg, cfg)
     np.testing.assert_allclose(np.asarray(img_s[0]), np.asarray(img_1),
                                atol=1e-5)
+
+
+def test_sharded_train_step_pallas_matches_single(rng):
+    """The shard_map train step (pallas interpret, 8-device mesh) must
+    produce the same loss/metrics as the single-device jit step — the
+    multi-chip TRAINING path for the Pallas rasterizer (jit's automatic
+    partitioner cannot split a pallas_call)."""
+    from gps_gaussian_tpu.testing import fake_stereo_batch
+    from gps_gaussian_tpu.train import sharding, state as state_lib
+    from gps_gaussian_tpu.train.config import load_config
+    from gps_gaussian_tpu.train.trainer import (make_model,
+                                                make_raster_config,
+                                                make_sharded_train_step,
+                                                make_train_step)
+
+    cfg = load_config(
+        None, batch_size=8,
+        raster=dict(max_tiles_per_gaussian=8, max_per_tile=128,
+                    backend="pallas"))
+    import dataclasses
+
+    rcfg = dataclasses.replace(make_raster_config(cfg), interpret=True)
+    mesh = sharding.make_mesh()
+    batch = fake_stereo_batch(batch=8, res=32, novel_res=32)
+
+    model = make_model(cfg, with_gs=True)
+    params = model.init(jax.random.PRNGKey(0), batch,
+                        iters=cfg.raft.train_iters)
+    state0 = state_lib.create_state(cfg, params)
+
+    single = jax.jit(make_train_step(model, cfg, "stage2", rcfg))
+    s1, m1 = single(state0, batch)
+
+    state0b = state_lib.create_state(cfg, params)
+    sharded_batch = sharding.shard_batch(mesh, batch)
+    stepped = jax.jit(make_sharded_train_step(model, cfg, "stage2", rcfg,
+                                              mesh))
+    s2, m2 = stepped(state0b, sharded_batch)
+
+    # valid-masked metrics are per-shard means pmean'd, not global means
+    # over the whole batch — a standard DP semantic difference, so the
+    # comparison is loose-relative; drop counters are psum'd exactly
+    for k in m1:
+        np.testing.assert_allclose(float(m2[k]), float(m1[k]), rtol=5e-3,
+                                   atol=1e-5, err_msg=k)
+    l1 = jax.tree_util.tree_leaves(s1.params)[0]
+    l2 = jax.tree_util.tree_leaves(s2.params)[0]
+    np.testing.assert_allclose(np.asarray(l2), np.asarray(l1), atol=5e-6)
