@@ -676,6 +676,10 @@ def render_sorted(stacked, height: int, width: int, max_tiles: int,
 
     Returns (image (B, H, W, 3), transmittance (B, H, W, 1), and
     per-sample counters num_dup_dropped (B,), num_pair_dropped (B,)).
+    pair_budget is PER SAMPLE (the array holds B * pair_budget pairs);
+    when it binds, truncation falls on the globally-last sorted pairs —
+    i.e. the highest batch indices' deepest tiles — so size it to bind
+    never (drops are counted per sample either way).
     Differentiable w.r.t. stacked columns 0..8 (the binning keys in
     columns 9..10 are positional, gradient-free — matching the CUDA
     rasterizer, which treats the sort order as fixed).

@@ -148,6 +148,29 @@ def make_sharded_train_step(model: GPSGaussianModel, cfg: Config,
                      out_specs=(P(), P()), check_vma=False)
 
 
+def make_sharded_eval_step(model: GPSGaussianModel, cfg: Config,
+                           stage: str, rcfg: RasterizeConfig, mesh,
+                           axis_name: str = "data"):
+    """Eval step under shard_map (same reason as make_sharded_train_step:
+    pallas_call does not auto-partition).  Metrics pmean (drop counters
+    psum); preview images come back batch-sharded."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    base = make_eval_step(model, cfg, stage, rcfg)
+
+    def step(params, batch):
+        metrics, img_pred = base(params, batch)
+        metrics = {k: (jax.lax.psum(v, axis_name) if "drop" in k
+                       else jax.lax.pmean(v, axis_name))
+                   for k, v in metrics.items()}
+        return metrics, img_pred
+
+    return shard_map(step, mesh=mesh,
+                     in_specs=(P(), P(axis_name)),
+                     out_specs=(P(), P(axis_name)), check_vma=False)
+
+
 def make_eval_step(model: GPSGaussianModel, cfg: Config, stage: str,
                    rcfg: RasterizeConfig):
     bg = jnp.asarray(cfg.dataset.bg_color, jnp.float32)
@@ -264,12 +287,15 @@ class Trainer:
                 make_sharded_train_step(self.model, cfg, self.stage,
                                         self.rcfg, self.mesh),
                 donate_argnums=(0,))
+            self.eval_step = jax.jit(
+                make_sharded_eval_step(self.model, cfg, self.stage,
+                                       self.rcfg, self.mesh))
         else:
             self.train_step = jax.jit(
                 make_train_step(self.model, cfg, self.stage, self.rcfg),
                 donate_argnums=(0,))
-        self.eval_step = jax.jit(
-            make_eval_step(self.model, cfg, self.stage, self.rcfg))
+            self.eval_step = jax.jit(
+                make_eval_step(self.model, cfg, self.stage, self.rcfg))
 
         self.writer = None
         try:
