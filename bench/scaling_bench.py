@@ -26,6 +26,7 @@ def run(n_devices, res, iters):
     from gps_gaussian_tpu.train.config import load_config
     from gps_gaussian_tpu.train.trainer import (make_model,
                                                 make_raster_config,
+                                                make_sharded_train_step,
                                                 make_train_step)
 
     cfg = load_config(
@@ -43,9 +44,11 @@ def run(n_devices, res, iters):
     state = state.replace(
         params=sharding.replicate(mesh, state.params),
         opt_state=sharding.replicate(mesh, state.opt_state))
-    step = jax.jit(make_train_step(model, cfg, "stage2",
-                                   make_raster_config(cfg)),
-                   donate_argnums=(0,))
+    rcfg = make_raster_config(cfg)
+    # the multi-device path is the shard_map step (pallas-compatible)
+    mk = (make_sharded_train_step(model, cfg, "stage2", rcfg, mesh)
+          if n_devices > 1 else make_train_step(model, cfg, "stage2", rcfg))
+    step = jax.jit(mk, donate_argnums=(0,))
     state, m = step(state, batch)
     jax.block_until_ready(m)
     t0 = time.perf_counter()

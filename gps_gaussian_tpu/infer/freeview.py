@@ -174,9 +174,10 @@ class FreeviewRenderer:
 
 def load_renderer(cfg: Config, ckpt_dir: str,
                   dataset: Optional[StereoHumanDataset] = None,
-                  example_batch: Optional[StereoSample] = None
-                  ) -> FreeviewRenderer:
-    """Restore trained params and build a renderer."""
+                  example_batch: Optional[StereoSample] = None,
+                  mesh=None) -> FreeviewRenderer:
+    """Restore trained params and build a renderer.  A multi-device
+    `mesh` shards the novel view's tile rows over chips."""
     from gps_gaussian_tpu.train import state as state_lib
 
     model = make_model(cfg, with_gs=True)
@@ -188,4 +189,4 @@ def load_renderer(cfg: Config, ckpt_dir: str,
     params, n = state_lib.restore_params_partial(ckpt_dir, params)
     if n == 0:
         raise FileNotFoundError(f"no restorable params in {ckpt_dir}")
-    return FreeviewRenderer(cfg, params, dataset)
+    return FreeviewRenderer(cfg, params, dataset, mesh=mesh)

@@ -108,7 +108,7 @@ def rasterize_tile_sharded(gaussians: FlatGaussians, camera: NovelCamera,
         img, trans, num_dropped, num_pair_dropped = render_sorted(
             stacked[None], band_h, width, cfg.max_tiles_per_gaussian,
             cfg.max_per_tile, cfg.pair_budget, bg,
-            interpret=cfg.interpret)
+            interpret=cfg.interpret or jax.default_backend() != "tpu")
         aux = RasterizeAux(
             transmittance=trans,
             num_dropped=jax.lax.psum(num_dropped[0], axis_name)[None],

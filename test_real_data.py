@@ -21,6 +21,9 @@ def main():
     ap.add_argument("--ckpt_path", required=True)
     ap.add_argument("--ratio", type=float, default=0.5)
     ap.add_argument("--src_view", type=int, nargs=2, default=(0, 1))
+    ap.add_argument("--shard_render", action="store_true",
+                    help="shard the novel view's tile rows over all "
+                         "devices (multi-chip 2K+ rendering)")
     ap.add_argument("--out_dir", default="test_out")
     args = ap.parse_args()
 
@@ -39,7 +42,12 @@ def main():
         source_ids=tuple(args.src_view), use_hr_img=cfg.dataset.use_hr_img,
         use_processed_data=False)
     dataset = StereoHumanDataset(ds_cfg, "test")
-    renderer = load_renderer(cfg, args.ckpt_path, dataset)
+    mesh = None
+    if args.shard_render:
+        from gps_gaussian_tpu.train.sharding import make_mesh
+
+        mesh = make_mesh()
+    renderer = load_renderer(cfg, args.ckpt_path, dataset, mesh=mesh)
 
     out = Path(args.out_dir)
     out.mkdir(parents=True, exist_ok=True)
