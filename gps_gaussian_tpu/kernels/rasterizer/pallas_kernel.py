@@ -13,13 +13,16 @@ rasterizer (SURVEY.md §2.3 N1) with a TPU-native formulation:
 * tile segments are NOT padded to chunk boundaries; the kernel masks the
   head/tail of the first/last chunk by pair position.  Empty tiles are
   skipped outright;
-* front-to-back transmittance is an exclusive cumulative sum of log(1-alpha)
-  along the pair axis, computed as a 7-step Hillis-Steele lane scan on the
-  VPU in exact f32 (fully parallel over pixels — no sequential walk, no
-  atomics, and no MXU pass per chunk).  Because accumulated transmittance
-  is monotone non-increasing, the "first violation" test needs no
-  cumulative count: violations form a suffix, so a pair blends iff it does
-  not itself cross T_EPS;
+* front-to-back transmittance is an exclusive cumulative PRODUCT of
+  (1 - alpha) along the pair axis — a 7-step Hillis-Steele lane scan on
+  the VPU in f32 (fully parallel over pixels; no sequential walk, no
+  atomics, no transcendentals, and the same repeated-multiply semantics
+  as the CUDA walk).  Because accumulated transmittance is monotone
+  non-increasing, the "first violation" test needs no cumulative count
+  (violations form a suffix: a pair blends iff it does not itself cross
+  T_EPS), the per-chunk carry is a masked max-reduce, and once EVERY
+  pixel of a tile is done the step-level while loop exits early — the
+  CUDA kernel's all-threads-done exit;
 * the backward kernel re-walks the same chunks computing analytic gradients
   (suffix contributions via inclusive cumsums) and writes per-PAIR gradient
   rows to a chunk-major buffer.  Chunks shared between adjacent tile
@@ -29,7 +32,11 @@ rasterizer (SURVEY.md §2.3 N1) with a TPU-native formulation:
 * the backward's pair gradients return to per-Gaussian layout by a second
   `lax.sort` keyed on the unique pre-sort slot id (a full permutation, so
   sorting by slot IS the inverse permutation) followed by a dense
-  reshape-sum over the duplication axis — no scatters anywhere.
+  reshape-sum over the duplication axis — no scatters anywhere;
+* the binning sort uses ONE packed i32 key — tile id in the high bits,
+  quantized depth below (pack_sort_key) — and the whole BATCH goes
+  through one sort and one (B, ty, tx) kernel launch, tile ids offset by
+  b * tiles per sample.
 
 Only the pallas composite carries a custom VJP; the pair sort carries its
 own custom VJP (the unsort described above).
