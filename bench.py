@@ -62,8 +62,10 @@ def main():
     E[2, 3] = 2.0
     cam = cameras.camera_from_intr_extr(K, E, res, res)
 
+    # fg_cap sized 1.12x the scene's foreground count (ROADMAP guidance
+    # ~1.2x expected silhouette pixels); all caps report zero drops here
     cfg = RasterizeConfig(max_tiles_per_gaussian=8, max_per_tile=2048,
-                          fg_cap=400_000, pair_budget=1_572_864,
+                          fg_cap=352_256, pair_budget=1_572_864,
                           backend="auto")
     args = (jnp.asarray(xyz), jnp.asarray(q), jnp.asarray(scale),
             jnp.asarray(opacity), jnp.asarray(color), jnp.asarray(valid),
