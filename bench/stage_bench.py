@@ -27,7 +27,6 @@ def main():
     ap.add_argument("--stages", type=str, default="all")
     args_cli = ap.parse_args()
 
-    import bench as bench_root  # repo-root bench.py
     import importlib.util
     spec = importlib.util.spec_from_file_location("root_bench",
                                                   "/root/repo/bench.py")
@@ -85,7 +84,7 @@ def main():
     def sort_stage(stacked):
         n = stacked.shape[0]
         K = cfg.max_tiles_per_gaussian
-        x_min, y_min, span_x, total, _, _ = PK.tile_rects(
+        x_min, y_min, span_x, total, _ = PK.tile_rects(
             stacked[:, 0:2], stacked[:, 10], tiles_y, tiles_x, PK.TILE, K)
         k = jnp.arange(K, dtype=jnp.int32)
         span_x_safe = jnp.maximum(span_x, 1)[:, None]

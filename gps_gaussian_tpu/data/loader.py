@@ -100,7 +100,10 @@ class BatchLoader:
         self.procs: list = []
         self.threads: list = []
         if num_procs > 0:
-            ctx = mp.get_context("fork")
+            # spawn, not fork: the trainer initializes the JAX (TPU)
+            # backend before building loaders, and forking after backend
+            # init can deadlock the runtime's threads in the child
+            ctx = mp.get_context("spawn")
             self._task_q = ctx.Queue(maxsize=prefetch + num_procs)
             self.q = ctx.Queue(maxsize=prefetch)
             self.procs = [
@@ -138,19 +141,24 @@ class BatchLoader:
                    for i in idxs]
         return collate(samples)
 
-    def _worker(self):
+    def _put_retrying(self, q, item):
+        """Put with timeout-retry: the item (which consumed epoch
+        permutation indices) must NEVER be discarded on queue.Full, or
+        the without-replacement epoch guarantee silently breaks."""
         while not self._stop.is_set():
             try:
-                self.q.put(self._one_batch(), timeout=1.0)
+                q.put(item, timeout=1.0)
+                return
             except queue.Full:
                 continue
 
+    def _worker(self):
+        while not self._stop.is_set():
+            self._put_retrying(self.q, self._one_batch())
+
     def _feeder(self):
         while not self._stop.is_set():
-            try:
-                self._task_q.put(self._next_task(), timeout=1.0)
-            except queue.Full:
-                continue
+            self._put_retrying(self._task_q, self._next_task())
 
     def __iter__(self):
         return self

@@ -113,12 +113,16 @@ def scan_yaw_degrees(scan_dir: Path, verts: np.ndarray) -> float:
                                                                        3)[0,
                                                                           1])
             return float(np.degrees(y_orient))
-    # PCA fallback on the xz footprint
+    # PCA fallback on the xz footprint.  A shoulder axis at world angle
+    # theta (from +x toward +z) needs the ring rotated by -theta to face
+    # the body front: rotationY(a) maps +x to (cos a, -sin a) in xz, so
+    # the SIGN must be negated or the estimate lands at -theta (2*theta
+    # away from the SMPL-X path, verified numerically).
     xz = verts[:, [0, 2]] - verts[:, [0, 2]].mean(axis=0)
     cov = xz.T @ xz / max(len(xz), 1)
     evals, evecs = np.linalg.eigh(cov)
     major = evecs[:, np.argmax(evals)]        # shoulder (left-right) axis
-    return float(np.degrees(np.arctan2(major[1], major[0])))
+    return float(-np.degrees(np.arctan2(major[1], major[0])))
 
 
 def render_scan_views(verts, faces, uv, tex, root: Path, scan: str,

@@ -121,10 +121,11 @@ def tile_rects(mean2d, radius, tiles_y: int, tiles_x: int, tile: int,
                max_tiles: int):
     """CUDA getRect: exclusive-max tile rectangle per Gaussian, clamped.
 
-    Returns (x_min, y_min, span_x, span_y, total, num_dropped) where total
-    is the per-Gaussian live duplicate count (0 when culled) and
-    num_dropped counts pairs lost to the per-Gaussian duplication cap
-    (counted, never silent — SURVEY.md §7 hard part 2).
+    Returns (x_min, y_min, span_x, total_capped, total_uncapped) —
+    total_capped is the per-Gaussian live duplicate count clamped to
+    max_tiles (0 when culled); callers count duplication-cap drops as
+    total_uncapped - total_capped (never silent — SURVEY.md §7 hard
+    part 2).
     """
     mean2d = lax.stop_gradient(mean2d)
     radius = lax.stop_gradient(radius)
@@ -140,8 +141,7 @@ def tile_rects(mean2d, radius, tiles_y: int, tiles_x: int, tile: int,
     span_y = y_max - y_min
     total = jnp.where(radius > 0.0, span_x * span_y, 0)
     total_capped = jnp.minimum(total, max_tiles)
-    num_dropped = jnp.sum(total - total_capped)
-    return x_min, y_min, span_x, total_capped, total, num_dropped
+    return x_min, y_min, span_x, total_capped, total
 
 
 def pack_sort_key(tile_i, depth, total_tiles: int):
@@ -180,9 +180,11 @@ def _pair_sort(stacked, tile_f, depth, K: int, p_chunks: int,
     stacked: (C, 16) per-Gaussian rows; tile_f: (C*K,) f32 tile id per
     duplicate (sentinel num_tiles for dead); depth: (C*K,) f32 sort key.
 
-    Returns (props3d (p_chunks+DCH, 16, 128), start_f (T,), count_f (T,)).
-    start/count travel as f32 (exact integers well below 2^24) so the
-    custom-vjp cotangent structure stays all-float.
+    Returns (props3d (p_chunks+DCH, 16, 128), start (T,) i32,
+    count (T,) i32).  start/count stay INTEGER: at hr settings
+    batch * pair_budget exceeds 2^24 and an f32 carrier would round
+    segment boundaries to even integers, compositing neighbor tiles'
+    pairs (int outputs get float0 cotangents, discarded in the bwd).
 
     The backward un-sorts pair gradients with a second sort keyed on the
     unique pre-sort slot id (a full permutation of [0, C*K)), then
@@ -224,7 +226,7 @@ def _pair_sort_impl(stacked, tile_f, depth, K, p_chunks, num_tiles,
     cols += [jnp.zeros((p_chunks, CHUNK), jnp.float32)] * (PROPW - NPROP)
     props3d = jnp.stack(cols, axis=1)               # (p_chunks, 16, 128)
     props3d = jnp.pad(props3d, ((0, DCH), (0, 0), (0, 0)))  # DMA tail margin
-    out = (props3d, start.astype(jnp.float32), count.astype(jnp.float32))
+    out = (props3d, start, count)
     return out, slot_s
 
 
@@ -634,33 +636,33 @@ def _run_bwd(props, start, count, res, g_res, batch, tiles_y, tiles_x,
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
-def _composite_core(props, start_f, count_f, batch, tiles_y, tiles_x,
+def _composite_core(props, start, count, batch, tiles_y, tiles_x,
                     interpret):
-    """(nch, 16, 128) props + (B*T,) segment starts/counts
+    """(nch, 16, 128) props + (B*T,) i32 segment starts/counts
     -> (B*T, PIX, 4).
 
-    start/count travel as f32 so the custom_vjp cotangent structure stays
-    all-float (they are exact integers well below 2^24).
+    start/count are INTEGER inputs (f32 rounds above 2^24 — see
+    _pair_sort); their cotangents are float0 zeros.
     """
-    return _run_fwd(props, start_f.astype(jnp.int32),
-                    count_f.astype(jnp.int32), batch, tiles_y, tiles_x,
+    return _run_fwd(props, start, count, batch, tiles_y, tiles_x,
                     interpret)
 
 
-def _composite_core_fwd(props, start_f, count_f, batch, tiles_y, tiles_x,
+def _composite_core_fwd(props, start, count, batch, tiles_y, tiles_x,
                         interpret):
-    out = _run_fwd(props, start_f.astype(jnp.int32),
-                   count_f.astype(jnp.int32), batch, tiles_y, tiles_x,
+    out = _run_fwd(props, start, count, batch, tiles_y, tiles_x,
                    interpret)
-    return out, (props, start_f, count_f, out)
+    return out, (props, start, count, out)
 
 
 def _composite_core_bwd(batch, tiles_y, tiles_x, interpret, saved, g_out):
-    props, start_f, count_f, out = saved
-    gprops = _run_bwd(props, start_f.astype(jnp.int32),
-                      count_f.astype(jnp.int32), out, g_out,
+    import numpy as np
+
+    props, start, count, out = saved
+    gprops = _run_bwd(props, start, count, out, g_out,
                       batch, tiles_y, tiles_x, interpret)
-    return gprops, jnp.zeros_like(start_f), jnp.zeros_like(count_f)
+    zint = np.zeros(start.shape, dtype=jax.dtypes.float0)
+    return gprops, zint, zint
 
 
 _composite_core.defvjp(_composite_core_fwd, _composite_core_bwd)
@@ -699,7 +701,7 @@ def render_sorted(stacked, height: int, width: int, max_tiles: int,
     mean2d = flat[:, 0:2]
     depth = flat[:, 9]
     radius = flat[:, 10]
-    x_min, y_min, span_x, total, total_uncapped, _ = tile_rects(
+    x_min, y_min, span_x, total, total_uncapped = tile_rects(
         mean2d, radius, tiles_y, tiles_x, TILE, max_tiles)
     num_dropped = jnp.sum((total_uncapped - total).reshape(batch, n),
                           axis=1)
@@ -723,16 +725,15 @@ def render_sorted(stacked, height: int, width: int, max_tiles: int,
     depth_b = jnp.broadcast_to(
         lax.stop_gradient(depth)[:, None],
         (batch * n, max_tiles)).reshape(-1)
-    props3d, start_f, count_f = _pair_sort(
+    props3d, start, count = _pair_sort(
         flat, tile_id.reshape(-1).astype(jnp.float32), depth_b,
         max_tiles, p_chunks, batch * num_tiles, max_per_tile)
 
     num_pair_dropped = (
         jnp.sum(total.reshape(batch, n), axis=1)
-        - jnp.sum(count_f.reshape(batch, num_tiles),
-                  axis=1).astype(jnp.int32))
+        - jnp.sum(count.reshape(batch, num_tiles), axis=1))
 
-    out = _composite_core(props3d, start_f, count_f, batch, tiles_y,
+    out = _composite_core(props3d, start, count, batch, tiles_y,
                           tiles_x, interpret)
 
     bg = jnp.asarray(bg_color, jnp.float32)

@@ -88,10 +88,15 @@ def rasterize_tile_sharded(gaussians: FlatGaussians, camera: NovelCamera,
     band_h = band_tiles * TILE
 
     bg = jnp.asarray(bg_color, jnp.float32)
-    # the whole set must fit every chip's band cap; bands see ~1/ndev of
-    # the foreground plus rect spill, so the global fg_cap stays a good
-    # per-band cap (counted, never silent, when it is not)
-    cap = cfg.fg_cap if cfg.fg_cap is not None else gaussians.xyz.shape[1]
+    # per-BAND cap: bands see ~1/ndev of the set plus rect spill, so the
+    # default sizes to 2x an even split (rounded to sublanes) — this is
+    # what makes per-chip sort/kernel work shrink with the mesh.  An
+    # explicit cfg.fg_cap overrides (counted, never silent, either way).
+    n = gaussians.xyz.shape[1]
+    if cfg.fg_cap is not None:
+        cap = cfg.fg_cap
+    else:
+        cap = min(n, max(-(-2 * n // (ndev * 128)) * 128, 1024))
 
     def shard_fn(xyz, rot, scale, opacity, rgb, valid, view, proj,
                  tanfovx, tanfovy):

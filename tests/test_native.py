@@ -143,19 +143,20 @@ def test_height_randomization_and_yaw_normalization(tmp_path):
     assert (np.abs(heights - 1.80) <= 0.05 + 1e-6).all()
     assert heights.std() > 0.01                    # actually randomised
 
-    # PCA yaw fallback: a body wide along x faces ~0/180 deg; rotating it
-    # by 40 deg about y must move the estimate by ~40 (mod 180)
+    # PCA yaw fallback must TRACK the true yaw (mod 180, the axis
+    # ambiguity) under the reference's rotationY convention
+    # (taichi_three/transform.py:14) — the same sign as the SMPL-X path
     wide = np.stack([np.linspace(-0.4, 0.4, 200),
                      np.linspace(0, 1.8, 200),
                      0.02 * rng0.normal(size=200)], axis=1).astype(np.float32)
-    y0 = render_scans.scan_yaw_degrees(tmp_path, wide)
-    th = np.deg2rad(40.0)
-    rot = np.array([[np.cos(th), 0, np.sin(th)],
-                    [0, 1, 0],
-                    [-np.sin(th), 0, np.cos(th)]], np.float32)
-    y1 = render_scans.scan_yaw_degrees(tmp_path, wide @ rot.T)
-    d = (y1 - y0) % 180.0
-    assert min(d, 180.0 - d) == pytest.approx(40.0, abs=2.0)
+    for deg in (0.0, 30.0, 60.0, -40.0):
+        th = np.deg2rad(deg)
+        rot = np.array([[np.cos(th), 0, np.sin(th)],
+                        [0, 1, 0],
+                        [-np.sin(th), 0, np.cos(th)]], np.float32)
+        est = render_scans.scan_yaw_degrees(tmp_path, wide @ rot.T)
+        d = (est - deg) % 180.0
+        assert min(d, 180.0 - d) < 2.0, (deg, est)
 
     # SMPL-X param wins over PCA when present
     scan_dir = tmp_path / "scanA"
