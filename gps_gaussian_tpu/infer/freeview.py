@@ -34,23 +34,26 @@ def compact_valid(gauss: FlatGaussians, cap: int):
     ONCE per frame here instead of once per rendered view inside the
     rasterizer (the per-view argsort+gather was ~13 ms at 1024^2).
     Returns (compacted FlatGaussians, num_dropped)."""
-    live = gauss.valid[0] > 0.0
-    n = live.shape[0]
-    order = jnp.argsort(jnp.logical_not(live))
-    if cap > n:
-        order = jnp.concatenate(
-            [order, jnp.zeros((cap - n,), order.dtype)])
-    idx = order[:cap]
-    n_live = jnp.sum(live.astype(jnp.int32))
-    n_kept = jnp.minimum(n_live, cap)
-    slot_live = (jnp.arange(cap, dtype=jnp.int32)
-                 < n_kept).astype(jnp.float32)
+    from gps_gaussian_tpu.kernels.rasterizer.compaction import \
+        live_first_order
+
+    n = gauss.valid.shape[1]
+    idx, slot_live, n_dropped = live_first_order(gauss.valid[0] > 0.0,
+                                                 cap)
+    if idx is None:
+        def take(x):
+            return jnp.pad(x, ((0, 0), (0, cap - n))
+                           + ((0, 0),) * (x.ndim - 2))
+    else:
+        def take(x):
+            return x[:, idx]
+
     out = FlatGaussians(
-        xyz=gauss.xyz[:, idx], rgb=gauss.rgb[:, idx],
-        rot=gauss.rot[:, idx], scale=gauss.scale[:, idx],
-        opacity=gauss.opacity[:, idx],
-        valid=gauss.valid[:, idx] * slot_live[None])
-    return out, n_live - n_kept
+        xyz=take(gauss.xyz), rgb=take(gauss.rgb),
+        rot=take(gauss.rot), scale=take(gauss.scale),
+        opacity=take(gauss.opacity),
+        valid=take(gauss.valid) * slot_live[None])
+    return out, n_dropped
 
 
 class FreeviewRenderer:

@@ -54,31 +54,36 @@ def compact_foreground(projd, cap: int):
 
     Pixel-aligned Gaussian sets are ~80-90% masked background
     (SURVEY.md §6 Gaussian count); compacting before binning shrinks the
-    global pair sort by the same factor.  O(N) cumsum+scatter, no sort;
+    global pair sort by the same factor.  argsort-based (a 2M-key sort
+    is ~7 ms on TPU — scatters and vectorized binary search lose);
     gradients flow through the gathers.
     """
-    n = projd.depth.shape[0]
-    live = projd.radius > 0.0
-    # argsort-based compaction: a 2M-key sort is ~7 ms on TPU, far cheaper
-    # than either a scatter inverse-permutation or a vectorized binary
-    # search at these sizes (measured)
-    order = jnp.argsort(jnp.logical_not(live))
-    if n < cap:
-        order = jnp.pad(order, (0, cap - n))
-    idx_map = order[:cap]
-    n_live = jnp.sum(live.astype(jnp.int32))
-    n_kept = jnp.minimum(n_live, cap)
-    slot_live = jnp.arange(cap, dtype=jnp.int32) < n_kept
+    from gps_gaussian_tpu.kernels.rasterizer.compaction import \
+        live_first_order
     from gps_gaussian_tpu.kernels.rasterizer.preprocess import Projected
 
+    n = projd.depth.shape[0]
+    idx_map, slot_live, n_dropped = live_first_order(projd.radius > 0.0,
+                                                     cap)
+    if idx_map is None:
+        # cap >= n: nothing can drop; pad in place if cap > n
+        def pad(x):
+            return jnp.pad(x, ((0, cap - n),) + ((0, 0),) * (x.ndim - 1))
+
+        compacted = Projected(
+            mean2d=pad(projd.mean2d), conic=pad(projd.conic),
+            depth=pad(projd.depth),
+            radius=pad(projd.radius) * slot_live,
+            opacity=pad(projd.opacity), color=pad(projd.color))
+        return compacted, n_dropped
     compacted = Projected(
         mean2d=projd.mean2d[idx_map],
         conic=projd.conic[idx_map],
         depth=projd.depth[idx_map],
-        radius=jnp.where(slot_live, projd.radius[idx_map], 0.0),
+        radius=projd.radius[idx_map] * slot_live,
         opacity=projd.opacity[idx_map],
         color=projd.color[idx_map])
-    return compacted, n_live - n_kept
+    return compacted, n_dropped
 
 
 def _stack_compact(projd, cfg: RasterizeConfig):
@@ -90,26 +95,24 @@ def _stack_compact(projd, cfg: RasterizeConfig):
     from gps_gaussian_tpu.kernels.rasterizer.pallas_kernel import (
         stack_rows, take_rows_unique)
 
-    n = projd.depth.shape[0]
+    from gps_gaussian_tpu.kernels.rasterizer.compaction import \
+        live_first_order
+
     stacked = stack_rows(projd.mean2d, projd.conic, projd.opacity,
                          projd.color, projd.depth, projd.radius)
     num_fg_dropped = jnp.zeros((), jnp.int32)
-    # compaction only ever shrinks: when fg_cap >= n there is nothing to
-    # drop, and padding `order` would duplicate index 0, breaking
-    # take_rows_unique's unique-index inverse-permutation backward
-    if cfg.fg_cap is not None and cfg.fg_cap < n:
-        live = projd.radius > 0.0
-        order = jnp.argsort(jnp.logical_not(live))
-        idx_map = order[: cfg.fg_cap]
-        n_live = jnp.sum(live.astype(jnp.int32))
-        n_kept = jnp.minimum(n_live, cfg.fg_cap)
-        num_fg_dropped = n_live - n_kept
-        slot_live = (jnp.arange(cfg.fg_cap, dtype=jnp.int32)
-                     < n_kept).astype(jnp.float32)
-        stacked = take_rows_unique(stacked, idx_map.astype(jnp.float32))
-        stacked = jnp.concatenate(
-            [stacked[:, :10], stacked[:, 10:11] * slot_live[:, None],
-             stacked[:, 11:]], axis=1)
+    if cfg.fg_cap is not None:
+        idx_map, slot_live, num_fg_dropped = live_first_order(
+            projd.radius > 0.0, cfg.fg_cap)
+        # idx_map is None when fg_cap >= n: nothing can drop, rows stay
+        # in place (dead rows already carry radius 0)
+        if idx_map is not None:
+            stacked = take_rows_unique(stacked,
+                                       idx_map.astype(jnp.float32))
+            stacked = jnp.concatenate(
+                [stacked[:, :10],
+                 stacked[:, 10:11] * slot_live[:, None],
+                 stacked[:, 11:]], axis=1)
     return stacked, num_fg_dropped
 
 

@@ -41,32 +41,25 @@ def _band_compact(stacked, y0, band_h: int, cap: int):
     Returns (stacked (cap, 16) band-local rows with col 1 shifted by -y0,
     num_dropped ()).  The same argsort compaction as the global fg_cap,
     keyed on band overlap."""
+    from gps_gaussian_tpu.kernels.rasterizer.compaction import \
+        live_first_order
+
     my = stacked[:, 1]
     radius = stacked[:, 10]
     keep = ((radius > 0.0) & (my + radius >= y0)
             & (my - radius < y0 + band_h))
     n = stacked.shape[0]
-    n_live = jnp.sum(keep.astype(jnp.int32))
-    n_kept = jnp.minimum(n_live, cap)
-    if cap < n:
-        # compact: kept rows first (stable), then mark the kept prefix
-        order = jnp.argsort(jnp.logical_not(keep))
-        stacked = take_rows_unique(stacked,
-                                   order[:cap].astype(jnp.float32))
-        live = (jnp.arange(cap, dtype=jnp.int32)
-                < n_kept).astype(jnp.float32)
-    else:
-        # nothing can be dropped: mask in place (no gather, no reorder)
-        live = keep.astype(jnp.float32)
-        if cap > n:
-            stacked = jnp.pad(stacked, ((0, cap - n), (0, 0)))
-            live = jnp.pad(live, (0, cap - n))
+    idx, live, n_dropped = live_first_order(keep, cap)
+    if idx is not None:
+        stacked = take_rows_unique(stacked, idx.astype(jnp.float32))
+    elif cap > n:
+        stacked = jnp.pad(stacked, ((0, cap - n), (0, 0)))
     # shift to band-local pixel rows; kill rows outside the band
     stacked = jnp.concatenate(
         [stacked[:, 0:1], stacked[:, 1:2] - y0, stacked[:, 2:10],
          stacked[:, 10:11] * live[:, None], stacked[:, 11:PROPW]],
         axis=1)
-    return stacked, n_live - n_kept
+    return stacked, n_dropped
 
 
 def rasterize_tile_sharded(gaussians: FlatGaussians, camera: NovelCamera,
