@@ -102,3 +102,38 @@ def test_stage2_loss_decreases_with_training(data_root, tmp_path):
         assert min(losses_seen[-3:]) < losses_seen[0]
     finally:
         tr.close()
+
+
+def test_stage2_hr_novel_target(data_root, tmp_path):
+    """The production stage-2 regime trains against a 2x hi-res novel
+    target (reference config/stage2.yaml use_hr_img +
+    lib/human_loader.py:409): the train step must consume a novel view at
+    2x the source resolution, render it, and report drop counters."""
+    from gps_gaussian_tpu.testing import fake_stereo_batch
+    from gps_gaussian_tpu.train.config import load_config
+    from gps_gaussian_tpu.train.trainer import (make_model,
+                                                make_raster_config,
+                                                make_train_step)
+    from gps_gaussian_tpu.train import state as state_lib
+
+    res = RES  # source; novel target is 2x
+    cfg = load_config(
+        None, batch_size=2,
+        raster=dict(max_tiles_per_gaussian=16, max_per_tile=256,
+                    backend="jnp",
+                    pair_budget=3 * (2 * res) * (2 * res) // 2),
+        dataset=dict(src_res=res, use_hr_img=True))
+    batch = fake_stereo_batch(batch=2, res=res, novel_res=2 * res)
+    assert batch.novel.img.shape == (2, 2 * res, 2 * res, 3)
+
+    model = make_model(cfg, with_gs=True)
+    params = model.init(jax.random.PRNGKey(0), batch,
+                        iters=cfg.raft.train_iters)
+    state = state_lib.create_state(cfg, params)
+    step = jax.jit(make_train_step(model, cfg, "stage2",
+                                   make_raster_config(cfg)))
+    state, metrics = step(state, batch)
+    assert int(state.step) == 1
+    assert np.isfinite(float(metrics["loss"]))
+    for k in ("num_dropped", "num_fg_dropped", "num_pair_dropped"):
+        assert k in metrics and np.isfinite(float(metrics[k]))
