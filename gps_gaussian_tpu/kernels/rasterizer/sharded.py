@@ -73,6 +73,9 @@ def rasterize_tile_sharded(gaussians: FlatGaussians, camera: NovelCamera,
     Returns (image, RasterizeAux) like `rasterize` (counters are
     mesh-summed).
     """
+    assert gaussians.xyz.shape[0] == 1, (
+        "tile-sharded rendering is per-frame (batch 1): the mesh is spent "
+        "on the tile grid, not the batch — render frames sequentially")
     ndev = mesh.shape[axis_name]
     height, width = camera.height, camera.width
     tiles_y = -(-height // TILE)
