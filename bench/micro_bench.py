@@ -69,6 +69,21 @@ def run_sorts(t, rng):
 
     t("packed u31 single key + 1 val", packed_key, (keys, fvals, ivals))
 
+    # the backward UNSORT shape: 1 i32 key + 9 f32 gradient operands, at
+    # full nK vs pair-budget length — decides whether shrinking nK (K or
+    # fg_cap) is worth its drops
+    def unsort_m(nlen):
+        def fn(a):
+            k = a[2][:nlen]
+            ops = (k,) + tuple(a[1][:nlen] + c for c in range(9))
+            out = jax.lax.sort(ops, num_keys=1, is_stable=True)
+            return sum(jnp.sum(o[:8]) for o in out[:2])
+        return fn
+
+    t("unsort: key + 9 f32 @ 3.2M", unsort_m(NP_), (keys, fvals, ivals))
+    t("unsort: key + 9 f32 @ 1.6M", unsort_m(NP_ // 2),
+      (keys, fvals, ivals))
+
 
 def run_transposes(t, rng, y16):
     t("(P,16) -> (16,P) transpose",

@@ -403,3 +403,33 @@ def test_pack_sort_key_edges(rng):
                             jnp.full((4,), np.nan, jnp.float32),
                             total_tiles)
     assert (np.asarray(key2) >= total_tiles * (1 << qbits)).all()
+
+
+def test_live_first_order_contract(rng):
+    from gps_gaussian_tpu.kernels.rasterizer.compaction import \
+        live_first_order
+
+    keep = jnp.asarray(rng.random(100) > 0.6)
+    n_live = int(keep.sum())
+
+    # cap < n: unique gather indices, kept rows first in stable order
+    idx, live, dropped = live_first_order(keep, 32)
+    idx = np.asarray(idx)
+    assert len(np.unique(idx)) == 32                  # uniqueness
+    n_kept = min(n_live, 32)
+    assert np.asarray(keep)[idx[:n_kept]].all()       # live-first
+    assert int(dropped) == max(n_live - 32, 0)
+    assert np.asarray(live).sum() == n_kept
+    kept = idx[:n_kept]
+    assert (np.diff(kept) > 0).all()                  # stable order
+
+    # cap == n: no gather, mask in place
+    idx2, live2, d2 = live_first_order(keep, 100)
+    assert idx2 is None and int(d2) == 0
+    np.testing.assert_array_equal(np.asarray(live2),
+                                  np.asarray(keep).astype(np.float32))
+
+    # cap > n: padded mask
+    idx3, live3, d3 = live_first_order(keep, 130)
+    assert idx3 is None and live3.shape == (130,)
+    assert np.asarray(live3)[100:].sum() == 0
