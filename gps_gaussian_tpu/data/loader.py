@@ -188,15 +188,27 @@ def eval_batches(dataset: StereoHumanDataset, batch_size: int,
     per-sample rng seeded by the index so the novel-view choice (and any
     augmentation) is identical run-to-run.  A short tail is wrapped to
     keep the jitted eval step's batch shape static.
+
+    Yields (StereoSample, weight) where weight is a (batch_size,) f32
+    array: 1.0 for first-visit samples, 0.0 for wrapped-tail duplicates,
+    so aggregation can mask them out of val means.  n_batches derives
+    from the GLOBAL dataset length, never the per-host slice: in
+    multi-host runs every process must execute the (collective-bearing)
+    eval step the same number of times or the psum/pmean inside it hangs.
     """
     idxs = list(range(process_index, len(dataset), process_count)) or [0]
-    n_batches = -(-len(idxs) // batch_size)
+    # identical on all hosts: the longest per-host shard, batched up
+    shard_len = max(-(-len(dataset) // process_count), 1)
+    n_batches = -(-shard_len // batch_size)
     if max_batches is not None:
         n_batches = min(n_batches, max_batches)
+    n_live = len(range(process_index, len(dataset), process_count))
     for b in range(n_batches):
-        chunk = [idxs[(b * batch_size + j) % len(idxs)]
-                 for j in range(batch_size)]
+        pos = [b * batch_size + j for j in range(batch_size)]
+        chunk = [idxs[p % len(idxs)] for p in pos]
+        weight = np.asarray([1.0 if p < n_live else 0.0 for p in pos],
+                            np.float32)
         samples = [dataset.get_sample(int(i), novel_ids,
                                       np.random.default_rng(seed + int(i)))
                    for i in chunk]
-        yield collate(samples)
+        yield collate(samples), weight

@@ -81,6 +81,11 @@ class FreeviewRenderer:
 
         self._forward = jax.jit(self._forward_impl)
         self._render = {}
+        # reading the drop counters forces a device->host sync that
+        # serializes dispatch; check the first frame and then every Nth
+        # (0 = never) instead of stalling the sweep on every view
+        self.check_drops_every = 16
+        self._frames_rendered = 0
 
     # -------------------------------------------------------------- core
     def _forward_impl(self, batch: StereoSample):
@@ -118,14 +123,17 @@ class FreeviewRenderer:
                 self._render[key] = jax.jit(
                     lambda g, c: rasterize(g, c, self.bg, self.rcfg))
         img, aux = self._render[key](gauss, camera)
-        drops = int(aux.num_dropped.sum() + aux.num_fg_dropped.sum()
-                    + aux.num_pair_dropped.sum())
-        if drops:
-            import logging
+        every = self.check_drops_every
+        if every and self._frames_rendered % every == 0:
+            drops = int(aux.num_dropped.sum() + aux.num_fg_dropped.sum()
+                        + aux.num_pair_dropped.sum())
+            if drops:
+                import logging
 
-            logging.getLogger("gps_tpu.infer").warning(
-                "rasterizer capacity caps dropped %d pairs this frame "
-                "(raise fg_cap/max_per_tile/pair_budget)", drops)
+                logging.getLogger("gps_tpu.infer").warning(
+                    "rasterizer capacity caps dropped %d pairs this frame "
+                    "(raise fg_cap/max_per_tile/pair_budget)", drops)
+        self._frames_rendered += 1
         return img, aux
 
     # ------------------------------------------------------------ drivers

@@ -41,26 +41,20 @@ def bin_gaussians(mean2d: jnp.ndarray, depth: jnp.ndarray,
     tiles_y = -(-height // tile)
     num_tiles = tiles_x * tiles_y
 
-    # CUDA getRect: exclusive-max tile rectangle, clamped to the grid
-    x_min = jnp.clip(jnp.floor((mean2d[:, 0] - radius) / tile), 0,
-                     tiles_x).astype(jnp.int32)
-    x_max = jnp.clip(jnp.floor((mean2d[:, 0] + radius + tile - 1) / tile),
-                     0, tiles_x).astype(jnp.int32)
-    y_min = jnp.clip(jnp.floor((mean2d[:, 1] - radius) / tile), 0,
-                     tiles_y).astype(jnp.int32)
-    y_max = jnp.clip(jnp.floor((mean2d[:, 1] + radius + tile - 1) / tile),
-                     0, tiles_y).astype(jnp.int32)
+    # CUDA getRect lives in ONE place (pallas_kernel.tile_rects) so the
+    # two backends can never drift on the clip algebra
+    from gps_gaussian_tpu.kernels.rasterizer.pallas_kernel import \
+        tile_rects
 
-    span_x = x_max - x_min
-    span_y = y_max - y_min
-    total = jnp.where(radius > 0.0, span_x * span_y, 0)     # (N,)
-    num_dropped = jnp.sum(jnp.maximum(total - max_tiles_per_gaussian, 0))
+    x_min, y_min, span_x, total_capped, total = tile_rects(
+        mean2d, radius, tiles_y, tiles_x, tile, max_tiles_per_gaussian)
+    num_dropped = jnp.sum(total - total_capped)
 
     k = jnp.arange(max_tiles_per_gaussian, dtype=jnp.int32)  # (K,)
     span_x_safe = jnp.maximum(span_x, 1)[:, None]
     dx = k[None, :] % span_x_safe                            # (N, K)
     dy = k[None, :] // span_x_safe
-    pair_valid = k[None, :] < total[:, None]                 # (N, K)
+    pair_valid = k[None, :] < total_capped[:, None]          # (N, K)
     tile_id = (y_min[:, None] + dy) * tiles_x + (x_min[:, None] + dx)
     tile_id = jnp.where(pair_valid, tile_id, num_tiles)      # pad sentinel
 

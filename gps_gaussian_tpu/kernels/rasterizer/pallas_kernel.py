@@ -153,8 +153,20 @@ def pack_sort_key(tile_i, depth, total_tiles: int):
     left under the tile id (>= 13 at 1024^2, still sub-micron bins for
     metre-scale scenes); ties resolve by the stable sort's slot order.
     Dead pairs carry the sentinel tile and sort last unchanged.
+
+    Depth resolution SHRINKS with batch * tiles (the fused batch offsets
+    tile ids by b * tiles): fewer qbits coarsen intra-tile blend order
+    for near-equal depths.  12 bits keeps bins sub-mm for metre-scale
+    scenes; an oversized batch * tile product fails loudly here instead
+    of silently degrading ordering.
     """
     qbits = 31 - int(total_tiles + 1).bit_length()
+    if qbits < 12:
+        raise ValueError(
+            f"pack_sort_key: only {qbits} depth bits left under "
+            f"{total_tiles} tile ids (batch * tiles too large for the "
+            f"packed i32 sort key); shrink the batch or render in "
+            f"tile-sharded bands (kernels/rasterizer/sharded.py)")
     live = tile_i < total_tiles
     dmin = jnp.min(jnp.where(live, depth, jnp.inf))
     dmin = jnp.where(jnp.isfinite(dmin), dmin, 0.0)

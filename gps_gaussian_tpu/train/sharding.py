@@ -48,10 +48,17 @@ def replicate(mesh: Mesh, tree):
 
 
 def init_distributed():
-    """Multi-host initialisation (no-op on a single process)."""
+    """Multi-host initialisation (no-op on a single process).
+
+    Failures are WARNED, never swallowed silently: a misconfigured
+    multi-host job that falls back to single-process should say so."""
     if jax.process_count() > 1:
         return  # already initialised by the launcher
     try:
         jax.distributed.initialize()
-    except Exception:
-        pass  # single-process / unsupported environment
+    except Exception as e:
+        import logging
+
+        logging.getLogger("gps_tpu.sharding").warning(
+            "jax.distributed.initialize() failed (%s); continuing "
+            "single-process — multi-host jobs will NOT see each other", e)

@@ -159,15 +159,17 @@ def make_sharded_eval_step(model: GPSGaussianModel, cfg: Config,
 
     base = make_eval_step(model, cfg, stage, rcfg)
 
-    def step(params, batch):
-        metrics, img_pred = base(params, batch)
-        metrics = {k: (jax.lax.psum(v, axis_name) if "drop" in k
-                       else jax.lax.pmean(v, axis_name))
-                   for k, v in metrics.items()}
+    def step(params, batch, weight):
+        metrics, img_pred = base(params, batch, weight)
+        # metrics are (numerator, denominator) pairs; psum both so every
+        # chip/host sees the exact global weighted ratio
+        metrics = {k: (jax.lax.psum(num, axis_name),
+                       jax.lax.psum(den, axis_name))
+                   for k, (num, den) in metrics.items()}
         return metrics, img_pred
 
     return shard_map(step, mesh=mesh,
-                     in_specs=(P(), P(axis_name)),
+                     in_specs=(P(), P(axis_name), P(axis_name)),
                      out_specs=(P(), P(axis_name)), check_vma=False)
 
 
@@ -201,22 +203,30 @@ def make_eval_step(model: GPSGaussianModel, cfg: Config, stage: str,
             jnp.concatenate(valids, 1), batch.novel.intr,
             batch.novel.extr, h, w)
 
-    def eval_step(params, batch: StereoSample):
+    def eval_step(params, batch: StereoSample, weight):
+        """weight (B,) f32 masks wrapped-tail duplicate samples out of the
+        val means (data/loader.py eval_batches).  Every metric returns as
+        a (numerator, denominator) pair so cross-batch / cross-chip
+        aggregation stays exact under arbitrary weights."""
         out = model.apply(params, batch, iters=cfg.raft.val_iters,
                           test_mode=True)
         flow_gt, valid = _stacked_flow_gt(batch)
         epe = jnp.sqrt(jnp.sum((out.final_flow - flow_gt) ** 2, axis=-1))
-        vm = (valid >= 0.5).astype(jnp.float32)[..., 0]
-        denom = jnp.maximum(vm.sum(), 1.0)
+        w2 = jnp.concatenate([weight, weight])[:, None, None]
+        vm = (valid >= 0.5).astype(jnp.float32)[..., 0] * w2
         metrics = {
-            "val_epe": (epe * vm).sum() / denom,
-            "val_1px": ((epe < 1).astype(jnp.float32) * vm).sum() / denom,
+            "val_epe": ((epe * vm).sum(), vm.sum()),
+            "val_1px": (((epe < 1).astype(jnp.float32) * vm).sum(),
+                        vm.sum()),
         }
         if stage == "stage2":
             img_pred, raux = render_novel(out, batch.novel, bg, rcfg)
-            metrics["val_psnr"] = losses.psnr(img_pred,
-                                              batch.novel.img).mean()
-            metrics.update(drop_metrics(raux, prefix="val_"))
+            metrics["val_psnr"] = (
+                (losses.psnr(img_pred, batch.novel.img) * weight).sum(),
+                weight.sum())
+            one = jnp.ones((), jnp.float32)
+            metrics.update({k: (v, one) for k, v in
+                            drop_metrics(raux, prefix="val_").items()})
         else:
             img_pred = (_stage1_preview(batch, out.final_flow)
                         if batch.novel is not None else None)
@@ -261,6 +271,13 @@ class Trainer:
         self.model = make_model(cfg, with_gs=(self.stage == "stage2"))
         self.rcfg = make_raster_config(cfg)
         self.mesh = mesh or sharding.make_mesh()
+        n_dev = self.mesh.devices.size
+        if cfg.batch_size % n_dev != 0:
+            raise ValueError(
+                f"batch_size={cfg.batch_size} must be divisible by the "
+                f"{n_dev}-device ('data',) mesh — the train step "
+                f"shard_maps the batch axis over it (e.g. stage1's bs=6 "
+                f"needs a 1/2/3/6-chip mesh, or raise batch_size)")
 
         # init params from one host batch
         init_batch = self._device_batch(next(self.train_loader))
@@ -389,10 +406,11 @@ class Trainer:
         val metrics are comparable run-to-run."""
         from gps_gaussian_tpu.data.loader import eval_batches
 
-        agg: dict = {}
+        num_agg: dict = {}
+        den_agg: dict = {}
         preview = None
         n = 0
-        for batch in eval_batches(
+        for batch, weight in eval_batches(
                 self.val_ds, self.cfg.batch_size,
                 tuple(self.cfg.dataset.val_novel_id),
                 process_index=jax.process_index(),
@@ -400,19 +418,20 @@ class Trainer:
                 max_batches=max_batches
                 or self.cfg.dataset.eval_max_batches):
             batch = self._device_batch(batch)
-            metrics, img_pred = self.eval_step(self.state.params, batch)
-            for k, v in metrics.items():
-                agg[k] = agg.get(k, 0.0) + float(v)
+            metrics, img_pred = self.eval_step(self.state.params, batch,
+                                               jnp.asarray(weight))
+            for k, (num, den) in metrics.items():
+                num_agg[k] = num_agg.get(k, 0.0) + float(num)
+                den_agg[k] = den_agg.get(k, 0.0) + float(den)
             if n == 0 and img_pred is not None:
                 preview = np.asarray(img_pred[0])
             n += 1
-        num_batches = max(n, 1)
-        msg = " ".join(f"{k}={v / num_batches:.4f}"
-                       for k, v in sorted(agg.items()))
+        final = {k: num_agg[k] / max(den_agg[k], 1e-12) for k in num_agg}
+        msg = " ".join(f"{k}={v:.4f}" for k, v in sorted(final.items()))
         log.info("eval @%d: %s", step, msg)
         if self.writer:
-            for k, v in agg.items():
-                self.writer.add_scalar(k, v / num_batches, step)
+            for k, v in final.items():
+                self.writer.add_scalar(k, v, step)
         if preview is not None:
             try:
                 import imageio.v2 as imageio
@@ -420,9 +439,9 @@ class Trainer:
                 imageio.imwrite(
                     str(self.exp_dir / "show" / f"{step:08d}.jpg"),
                     (np.clip(preview, 0, 1) * 255).astype(np.uint8))
-            except Exception:
-                pass
-        return {k: v / num_batches for k, v in agg.items()}
+            except Exception as e:
+                log.warning("eval preview write failed: %s", e)
+        return final
 
     def close(self):
         self.train_loader.close()

@@ -159,9 +159,33 @@ def test_eval_batches_deterministic_full_sweep(dataset_root):
     sweep1 = list(eval_batches(ds, 2, cfg.val_novel_ids))
     sweep2 = list(eval_batches(ds, 2, cfg.val_novel_ids))
     assert len(sweep1) == -(-len(ds) // 2)
-    for b1, b2 in zip(sweep1, sweep2):
+    for (b1, w1), (b2, w2) in zip(sweep1, sweep2):
         np.testing.assert_array_equal(b1.lmain.img, b2.lmain.img)
         np.testing.assert_array_equal(b1.novel.img, b2.novel.img)
+        np.testing.assert_array_equal(w1, w2)
+    # weights mask exactly the wrapped-tail duplicates: total live
+    # weight over the sweep equals the dataset size
+    assert sum(float(w.sum()) for _, w in sweep1) == len(ds)
     # max_batches caps the sweep
     assert len(list(eval_batches(ds, 2, cfg.val_novel_ids,
                                  max_batches=1))) == 1
+
+
+def test_eval_batches_same_count_across_hosts(dataset_root):
+    """Multi-host: every process must run the SAME number of eval steps
+    (the sharded eval step carries collectives) even when the dataset
+    size is not divisible by the process count."""
+    from gps_gaussian_tpu.data.loader import eval_batches
+
+    cfg = DatasetConfig(data_root=str(dataset_root), src_res=RES,
+                        use_processed_data=False)
+    ds = StereoHumanDataset(cfg, "val")
+    for count in (2, 3, max(len(ds), 2)):
+        sweeps = [list(eval_batches(ds, 2, cfg.val_novel_ids,
+                                    process_index=p, process_count=count))
+                  for p in range(count)]
+        lens = {len(s) for s in sweeps}
+        assert len(lens) == 1, (count, lens)
+        # global live weight still covers every sample exactly once
+        tot = sum(float(w.sum()) for s in sweeps for _, w in s)
+        assert tot == len(ds), (count, tot)
