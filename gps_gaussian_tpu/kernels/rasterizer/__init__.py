@@ -86,34 +86,49 @@ def compact_foreground(projd, cap: int):
     return compacted, n_dropped
 
 
-def _stack_compact(projd, cfg: RasterizeConfig):
-    """Fused row layout + optional foreground compaction (pallas path).
+def compact_gaussian_inputs(xyz, rot, scale, opacity, color, valid,
+                            cap: int):
+    """Compact RAW Gaussian inputs on the validity mask BEFORE projection.
 
-    One gather moves ALL per-Gaussian properties through compaction
-    (depth/radius ride cols 9-10 for binning).  Returns
-    (stacked (C, 16), num_fg_dropped ())."""
-    from gps_gaussian_tpu.kernels.rasterizer.pallas_kernel import (
-        stack_rows, take_rows_unique)
-
+    Validity (the foreground mask) is camera-independent, so compacting
+    first shrinks the EWA preprocess AND the binning sort from N (all
+    pixels, ~85% background) to `cap` rows — one 16-wide row gather moves
+    every property through (take_rows_unique: gather fwd, gather bwd).
+    Returns ((xyz, rot, scale, opacity(n,1), color, valid), n_dropped).
+    """
     from gps_gaussian_tpu.kernels.rasterizer.compaction import \
         live_first_order
+    from gps_gaussian_tpu.kernels.rasterizer.pallas_kernel import \
+        take_rows_unique
 
-    stacked = stack_rows(projd.mean2d, projd.conic, projd.opacity,
-                         projd.color, projd.depth, projd.radius)
-    num_fg_dropped = jnp.zeros((), jnp.int32)
-    if cfg.fg_cap is not None:
-        idx_map, slot_live, num_fg_dropped = live_first_order(
-            projd.radius > 0.0, cfg.fg_cap)
-        # idx_map is None when fg_cap >= n: nothing can drop, rows stay
-        # in place (dead rows already carry radius 0)
-        if idx_map is not None:
-            stacked = take_rows_unique(stacked,
-                                       idx_map.astype(jnp.float32))
-            stacked = jnp.concatenate(
-                [stacked[:, :10],
-                 stacked[:, 10:11] * slot_live[:, None],
-                 stacked[:, 11:]], axis=1)
-    return stacked, num_fg_dropped
+    n = xyz.shape[0]
+    opacity = opacity.reshape(n, 1)
+    idx_map, slot_live, n_dropped = live_first_order(
+        valid.reshape(n) > 0.5, cap)
+    if idx_map is None:
+        # cap >= n: nothing can drop; pad in place if cap > n
+        def pad(x):
+            return jnp.pad(x, ((0, cap - n), (0, 0)))
+
+        return (pad(xyz), pad(rot), pad(scale), pad(opacity), pad(color),
+                slot_live), n_dropped
+    rows = jnp.concatenate(
+        [xyz.astype(jnp.float32), rot.astype(jnp.float32),
+         scale.astype(jnp.float32), opacity.astype(jnp.float32),
+         color.astype(jnp.float32),
+         jnp.zeros((n, 2), jnp.float32)], axis=1)          # (N, 16)
+    rows = take_rows_unique(rows, idx_map.astype(jnp.float32))
+    return (rows[:, 0:3], rows[:, 3:7], rows[:, 7:10], rows[:, 10:11],
+            rows[:, 11:14], slot_live), n_dropped
+
+
+def _stack_rows(projd):
+    """Row layout for the pallas path (depth/radius ride cols 9-10)."""
+    from gps_gaussian_tpu.kernels.rasterizer.pallas_kernel import \
+        stack_rows
+
+    return stack_rows(projd.mean2d, projd.conic, projd.opacity,
+                      projd.color, projd.depth, projd.radius)
 
 
 def rasterize_single(xyz, rot, scale, opacity, color, valid,
@@ -124,15 +139,20 @@ def rasterize_single(xyz, rot, scale, opacity, color, valid,
 
     Returns (image (H, W, 3), RasterizeAux).
     """
-    projd = project_gaussians(xyz, rot, scale, opacity, color, valid,
-                              view, proj, tanfovx, tanfovy, height, width)
     num_fg_dropped = jnp.zeros((), jnp.int32)
 
     backend = cfg.resolve_backend()
     if backend == "pallas":
         from gps_gaussian_tpu.kernels.rasterizer.pallas_kernel import (
             render_sorted)
-        stacked, num_fg_dropped = _stack_compact(projd, cfg)
+        if cfg.fg_cap is not None:
+            (xyz, rot, scale, opacity, color, valid), num_fg_dropped = \
+                compact_gaussian_inputs(xyz, rot, scale, opacity, color,
+                                        valid, cfg.fg_cap)
+        projd = project_gaussians(xyz, rot, scale, opacity, color, valid,
+                                  view, proj, tanfovx, tanfovy, height,
+                                  width)
+        stacked = _stack_rows(projd)
         img, trans, num_dropped, num_pair_dropped = render_sorted(
             stacked[None], height, width, cfg.max_tiles_per_gaussian,
             cfg.max_per_tile, cfg.pair_budget,
@@ -142,6 +162,9 @@ def rasterize_single(xyz, rot, scale, opacity, color, valid,
                                     num_fg_dropped=num_fg_dropped,
                                     num_pair_dropped=num_pair_dropped[0])
     else:
+        projd = project_gaussians(xyz, rot, scale, opacity, color, valid,
+                                  view, proj, tanfovx, tanfovy, height,
+                                  width)
         if cfg.fg_cap is not None:
             projd, num_fg_dropped = compact_foreground(projd, cfg.fg_cap)
         bins = bin_gaussians(projd.mean2d, projd.depth, projd.radius,
@@ -195,10 +218,17 @@ def rasterize(gaussians: FlatGaussians, camera: NovelCamera, bg_color,
             render_sorted)
 
         def prep(g: FlatGaussians, view, proj, tanfovx, tanfovy):
+            xyz, rot, scale, opacity, rgb, valid = (
+                g.xyz, g.rot, g.scale, g.opacity, g.rgb, g.valid)
+            num_fg_dropped = jnp.zeros((), jnp.int32)
+            if cfg.fg_cap is not None:
+                (xyz, rot, scale, opacity, rgb, valid), num_fg_dropped = \
+                    compact_gaussian_inputs(xyz, rot, scale, opacity, rgb,
+                                            valid, cfg.fg_cap)
             projd = project_gaussians(
-                g.xyz, g.rot, g.scale, g.opacity, g.rgb, g.valid,
+                xyz, rot, scale, opacity, rgb, valid,
                 view, proj, tanfovx, tanfovy, h, w)
-            return _stack_compact(projd, cfg)
+            return _stack_rows(projd), num_fg_dropped
 
         stacked, num_fg_dropped = jax.vmap(prep)(
             gaussians, camera.view, camera.proj, camera.tanfovx,

@@ -51,9 +51,11 @@ def bin_gaussians(mean2d: jnp.ndarray, depth: jnp.ndarray,
     num_dropped = jnp.sum(total - total_capped)
 
     k = jnp.arange(max_tiles_per_gaussian, dtype=jnp.int32)  # (K,)
-    span_x_safe = jnp.maximum(span_x, 1)[:, None]
-    dx = k[None, :] % span_x_safe                            # (N, K)
-    dy = k[None, :] // span_x_safe
+    from gps_gaussian_tpu.kernels.rasterizer.pallas_kernel import \
+        expand_rect_offsets
+
+    dx, dy = expand_rect_offsets(jnp.maximum(span_x, 1),
+                                 max_tiles_per_gaussian)     # (N, K)
     pair_valid = k[None, :] < total_capped[:, None]          # (N, K)
     tile_id = (y_min[:, None] + dy) * tiles_x + (x_min[:, None] + dx)
     tile_id = jnp.where(pair_valid, tile_id, num_tiles)      # pad sentinel

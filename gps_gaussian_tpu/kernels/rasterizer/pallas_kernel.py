@@ -144,6 +144,27 @@ def tile_rects(mean2d, radius, tiles_y: int, tiles_x: int, tile: int,
     return x_min, y_min, span_x, total_capped, total
 
 
+def expand_rect_offsets(span_x, max_tiles: int):
+    """(dx, dy) tile offsets for duplicate k = dy * span_x + dx, WITHOUT
+    integer div/mod.
+
+    `k // span` and `k % span` over N*K elements are software-emulated on
+    TPU (no integer divide hardware) and cost ~10 ms at 2.8M pairs; f32
+    division IS hardware, and floor(k / span) computed in f32 is exact
+    here: k <= K-1 <= 63 and span <= tiles_x <= a few hundred are both
+    exactly representable, the relative division error (~6e-8 * q) is far
+    below the 1/span distance from any non-multiple quotient to the next
+    integer, and exact multiples divide exactly.  span_x must be >= 1
+    (callers clamp)."""
+    assert max_tiles <= 4096, "f32 floor-div exactness bound"
+    k = jnp.arange(max_tiles, dtype=jnp.int32)[None, :]
+    span = span_x[:, None]
+    dy = jnp.floor(k.astype(jnp.float32)
+                   / span.astype(jnp.float32)).astype(jnp.int32)
+    dx = k - dy * span
+    return dx, dy
+
+
 def pack_sort_key(tile_i, depth, total_tiles: int):
     """(tile, depth) packed into ONE i32 sort key.
 
@@ -202,25 +223,32 @@ def _pair_sort(stacked, tile_f, depth, K: int, p_chunks: int,
     unique pre-sort slot id (a full permutation of [0, C*K)), then
     reduces the K duplicates per Gaussian with a dense reshape-sum.
     """
+    # primal (not-being-differentiated) path: the slot operand exists only
+    # for the backward's unsort, so inference sorts one operand fewer
     out, _ = _pair_sort_impl(stacked, tile_f, depth, K, p_chunks,
-                             num_tiles, max_per_tile)
+                             num_tiles, max_per_tile, with_slot=False)
     return out
 
 
 def _pair_sort_impl(stacked, tile_f, depth, K, p_chunks, num_tiles,
-                    max_per_tile):
+                    max_per_tile, with_slot=True):
     n = stacked.shape[0]
     nK = n * K
     P = p_chunks * CHUNK
     tile_i = lax.stop_gradient(tile_f).astype(jnp.int32)
     depth = lax.stop_gradient(depth)
     key, qbits = pack_sort_key(tile_i, depth, num_tiles)
-    slot = jnp.arange(nK, dtype=jnp.int32)
     ops = tuple(jnp.broadcast_to(stacked[:, c:c + 1], (n, K)).reshape(-1)
                 for c in range(NPROP))
-    sorted_ = lax.sort((key, slot) + ops, num_keys=1, is_stable=True)
-    key_s, slot_s = sorted_[0], sorted_[1]
-    props_s = sorted_[2:]
+    if with_slot:
+        slot = jnp.arange(nK, dtype=jnp.int32)
+        sorted_ = lax.sort((key, slot) + ops, num_keys=1, is_stable=True)
+        key_s, slot_s = sorted_[0], sorted_[1]
+        props_s = sorted_[2:]
+    else:
+        sorted_ = lax.sort((key,) + ops, num_keys=1, is_stable=True)
+        key_s, slot_s = sorted_[0], None
+        props_s = sorted_[1:]
 
     # tile boundaries directly on the packed keys: tile t's segment is
     # [searchsorted(t << qbits), searchsorted((t+1) << qbits))
@@ -250,6 +278,15 @@ def _pair_sort_fwd(stacked, tile_f, depth, K, p_chunks, num_tiles,
 
 
 def _pair_sort_bwd(K, p_chunks, num_tiles, max_per_tile, saved, cots):
+    """Un-sort pair gradients by re-sorting on the unique slot id.
+
+    Measured on v5e (round 3, /tmp-style micro-bench at nK = 2.8M,
+    P = 1.57M): this 10-operand sort + dense reshape-sum runs ~5.4 ms;
+    the "obvious" alternatives lose badly — scatter-inverse-permutation
+    + row gather = 22.7 ms, 2-op sort + row gather = 22.8 ms (the
+    (nchunks, 16, 128) -> (P, 16) transpose alone is 13 ms and a 2.8M
+    random row gather 23 ms, while carrying extra f32 operands through
+    lax.sort is nearly free).  Sorts are cheap on TPU; gathers are not."""
     slot_s, n, tile_f, depth = saved
     g_props3d, _, _ = cots
     nK = n * K
@@ -260,9 +297,12 @@ def _pair_sort_bwd(K, p_chunks, num_tiles, max_per_tile, saved, cots):
         gc = g3[:, r, :].reshape(P)
         gc = gc[:nK] if P >= nK else jnp.pad(gc, (0, nK - P))
         gcols.append(gc)
-    # sorting by the unique slot id IS the inverse permutation
+    # sorting by the unique slot id IS the inverse permutation; slot_s is
+    # a permutation of [0, nK) so is_stable=False is bitwise-identical
+    # and spares XLA's StableSortExpander from adding a hidden iota
+    # tiebreaker operand (one full extra pass at 2.8M pairs)
     unsorted = lax.sort((slot_s,) + tuple(gcols), num_keys=1,
-                        is_stable=True)
+                        is_stable=False)
     g_stack = [o.reshape(n, K).sum(axis=1) for o in unsorted[1:]]
     g_stacked = jnp.stack(
         g_stack + [jnp.zeros((n,), jnp.float32)] * (PROPW - NPROP), axis=1)
@@ -719,9 +759,7 @@ def render_sorted(stacked, height: int, width: int, max_tiles: int,
                           axis=1)
 
     k = jnp.arange(max_tiles, dtype=jnp.int32)
-    span_x_safe = jnp.maximum(span_x, 1)[:, None]
-    dx = k[None, :] % span_x_safe
-    dy = k[None, :] // span_x_safe
+    dx, dy = expand_rect_offsets(jnp.maximum(span_x, 1), max_tiles)
     pair_live = k[None, :] < total[:, None]
     tile_id = (y_min[:, None] + dy) * tiles_x + (x_min[:, None] + dx)
     # globalize per sample; one shared sentinel keeps dead pairs last

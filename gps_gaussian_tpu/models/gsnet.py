@@ -74,23 +74,29 @@ class GSRegresser(nn.Module):
         out = nn.relu(Conv(self.head_dim, 3, 1, 1, dtype=self.dtype,
                            name="out_conv")(out))
 
-        rot = nn.relu(Conv(self.head_dim, 3, 1, 1, dtype=self.dtype,
-                           name="rot_conv1")(out))
-        rot = Conv(4, 1, 1, 0, dtype=self.dtype, name="rot_conv2")(rot)
+        # the three per-head 3x3 convs (reference gs_parm_network.py:34-50)
+        # fuse into ONE conv over 3*head_dim output channels: identical
+        # math (independent output channels), but one full-res MXU pass
+        # with 3x the lane packing instead of three 25%-packed passes —
+        # these full-res small-channel convs dominate the gsnet decoder
+        # on TPU (bench/model_bench.py)
+        hd = self.head_dim
+        h1 = nn.relu(Conv(3 * hd, 3, 1, 1, dtype=self.dtype,
+                          name="head_conv1")(out))
+
+        rot = Conv(4, 1, 1, 0, dtype=self.dtype,
+                   name="rot_conv2")(h1[..., 0:hd])
         rot = rot.astype(jnp.float32)
         rot = rot / jnp.linalg.norm(rot, axis=-1, keepdims=True).clip(1e-12)
 
-        scale = nn.relu(Conv(self.head_dim, 3, 1, 1, dtype=self.dtype,
-                             name="scale_conv1")(out))
         scale = Conv(3, 1, 1, 0, dtype=self.dtype,
-                     name="scale_conv2")(scale).astype(jnp.float32)
+                     name="scale_conv2")(h1[..., hd:2 * hd])
+        scale = scale.astype(jnp.float32)
         # Softplus(beta=100), clamped at 0.01 (reference gs_parm_network.py:73)
         scale = jnp.minimum(nn.softplus(scale * 100.0) / 100.0, 0.01)
 
-        opacity = nn.relu(Conv(self.head_dim, 3, 1, 1, dtype=self.dtype,
-                               name="opacity_conv1")(out))
         opacity = Conv(1, 1, 1, 0, dtype=self.dtype,
-                       name="opacity_conv2")(opacity)
+                       name="opacity_conv2")(h1[..., 2 * hd:3 * hd])
         opacity = nn.sigmoid(opacity.astype(jnp.float32))
 
         return rot, scale, opacity

@@ -127,13 +127,20 @@ def convert_state_dict(sd: Dict[str, np.ndarray]) -> dict:
             gs[ours] = _res_block(sd, f"{g}.{theirs}")
         gs["out_conv"] = {"Conv_0": _conv(sd[f"{g}.out_conv.weight"],
                                           sd[f"{g}.out_conv.bias"])}
-        for head, ours1, ours2 in (("rot_head", "rot_conv1", "rot_conv2"),
-                                   ("scale_head", "scale_conv1",
-                                    "scale_conv2"),
-                                   ("opacity_head", "opacity_conv1",
-                                    "opacity_conv2")):
+        # the three per-head 3x3 convs fuse into one head_conv1 in our
+        # gsnet (models/gsnet.py): concatenate their kernels/biases along
+        # the output-channel axis in [rot, scale, opacity] order
+        h1_kernels, h1_biases = [], []
+        for head, ours2 in (("rot_head", "rot_conv2"),
+                            ("scale_head", "scale_conv2"),
+                            ("opacity_head", "opacity_conv2")):
             a, b = _seq_head(sd, f"{g}.{head}")
-            gs[ours1], gs[ours2] = a, b
+            h1_kernels.append(a["Conv_0"]["kernel"])
+            h1_biases.append(a["Conv_0"]["bias"])
+            gs[ours2] = b
+        gs["head_conv1"] = {"Conv_0": {
+            "kernel": np.concatenate(h1_kernels, axis=-1),
+            "bias": np.concatenate(h1_biases, axis=-1)}}
         params["gs_regresser"] = gs
 
     return {"params": params}
