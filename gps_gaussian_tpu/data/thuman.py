@@ -39,6 +39,62 @@ def _read_img(path) -> np.ndarray:
     return np.array(Image.open(path))
 
 
+def _encode_cache(data: dict) -> dict:
+    """Compact rectified-cache payload (format v2).
+
+    Images become JPEG bytes (q95) and masks PNG bytes — the same
+    lossy-image / lossless-mask trade the reference's jpg/png cache
+    quartet makes (human_loader.py:131-163); validity stores as uint8.
+    Flow stays f32: it is the training target.  The v1 full-float npz
+    was several times the raw dataset size at production scale."""
+    import io
+
+    from PIL import Image
+
+    out = {"cache_version": np.int32(2)}
+    for k, v in data.items():
+        if k.startswith("img"):
+            buf = io.BytesIO()
+            Image.fromarray(
+                np.clip(np.asarray(v), 0, 255).astype(np.uint8)).save(
+                buf, format="JPEG", quality=95)
+            out[k + "_jpg"] = np.frombuffer(buf.getvalue(), np.uint8)
+        elif k.startswith("mask"):
+            buf = io.BytesIO()
+            Image.fromarray(
+                np.clip(np.asarray(v), 0, 255).astype(np.uint8)).save(
+                buf, format="PNG")
+            out[k + "_png"] = np.frombuffer(buf.getvalue(), np.uint8)
+        elif k.startswith("valid"):
+            out[k + "_u8"] = np.asarray(v, np.uint8)
+        else:
+            out[k] = v
+    return out
+
+
+def _decode_cache(raw: dict) -> dict:
+    import io
+
+    from PIL import Image
+
+    if "cache_version" not in raw:
+        return raw  # v1 full-float cache from older builds still loads
+    out = {}
+    for k, v in raw.items():
+        if k == "cache_version":
+            continue
+        if k.endswith("_jpg"):
+            out[k[:-4]] = np.array(Image.open(io.BytesIO(v.tobytes())))
+        elif k.endswith("_png"):
+            out[k[:-4]] = np.array(
+                Image.open(io.BytesIO(v.tobytes()))).astype(np.float32)
+        elif k.endswith("_u8"):
+            out[k[:-3]] = v.astype(np.float32)
+        else:
+            out[k] = v
+    return out
+
+
 def _read_inv_depth(path) -> np.ndarray:
     from PIL import Image
     return np.array(Image.open(path)).astype(np.float32) / (2.0 ** 15)
@@ -123,16 +179,20 @@ class StereoHumanDataset:
             cache = self.cache_dir / f"{scan}.npz"
             if cache.exists():
                 try:
-                    return dict(np.load(cache))
+                    return _decode_cache(dict(np.load(cache)))
                 except Exception:
                     pass  # mid-write by another worker: rebuild below
             data = self._build_rectified(scan)
             # atomic publish so concurrent readers never see partial files
             tmp = cache.with_suffix(f".{os.getpid()}.{threading.get_ident()}.tmp")
+            encoded = _encode_cache(data)
             with open(tmp, "wb") as f:
-                np.savez_compressed(f, **data)
+                np.savez_compressed(f, **encoded)
             os.replace(tmp, cache)
-            return data
+            # return the decoded roundtrip, NOT the raw build: the jpg
+            # quantization must be identical on the build epoch and every
+            # later cache hit or samples drift between epochs
+            return _decode_cache(encoded)
         return self._build_rectified(scan)
 
     def _build_rectified(self, scan: str, need_flow: bool = True) -> dict:

@@ -98,7 +98,21 @@ def test_rectified_cache_roundtrip(dataset_root):
     a = ds.rectified_stereo(ds.scans[0])   # builds cache
     b = ds.rectified_stereo(ds.scans[0])   # reads cache
     np.testing.assert_allclose(a["flow0"], b["flow0"])
+    # the build epoch must see the SAME (jpg-quantized) pixels as every
+    # later cache hit — no first-epoch drift
+    np.testing.assert_array_equal(a["img0"], b["img0"])
+    np.testing.assert_array_equal(a["mask1"], b["mask1"])
+    np.testing.assert_array_equal(a["valid0"], b["valid0"])
     assert (dataset_root / "rectified_local" / "val").exists()
+    # compact v2 cache: images ride as jpg bytes, not float arrays —
+    # the archive must be far smaller than the raw f32 payload
+    path = dataset_root / "rectified_local" / "val" / f"{ds.scans[0]}.npz"
+    raw_f32 = 2 * (RES * RES) * (3 + 1 + 1 + 1) * 4   # img+mask+flow+valid
+    assert path.stat().st_size < raw_f32 / 3
+    # jpg is lossy but bounded: within a few gray levels of the source
+    fresh = ds._build_rectified(ds.scans[0])
+    assert np.abs(np.asarray(b["img0"], np.float32)
+                  - np.asarray(fresh["img0"], np.float32)).mean() < 3.0
 
 
 def test_batch_loader(dataset_root):
