@@ -33,9 +33,14 @@ def compact_valid(gauss: FlatGaussians, cap: int):
     Foreground masks are camera-independent, so freeview sweeps compact
     ONCE per frame here instead of once per rendered view inside the
     rasterizer (the per-view argsort+gather was ~13 ms at 1024^2).
+    All six fields ride ONE 16-wide row gather (take_rows_unique): six
+    separate per-field gathers from the 2M-row arrays were ~3-4 ms EACH
+    on chip — most of the freeview forward's unexplained overhead.
     Returns (compacted FlatGaussians, num_dropped)."""
     from gps_gaussian_tpu.kernels.rasterizer.compaction import \
         live_first_order
+    from gps_gaussian_tpu.kernels.rasterizer.pallas_kernel import \
+        take_rows_unique
 
     n = gauss.valid.shape[1]
     idx, slot_live, n_dropped = live_first_order(gauss.valid[0] > 0.0,
@@ -44,15 +49,25 @@ def compact_valid(gauss: FlatGaussians, cap: int):
         def take(x):
             return jnp.pad(x, ((0, 0), (0, cap - n))
                            + ((0, 0),) * (x.ndim - 2))
-    else:
-        def take(x):
-            return x[:, idx]
 
+        return FlatGaussians(
+            xyz=take(gauss.xyz), rgb=take(gauss.rgb),
+            rot=take(gauss.rot), scale=take(gauss.scale),
+            opacity=take(gauss.opacity),
+            valid=take(gauss.valid) * slot_live[None]), n_dropped
+
+    opacity = gauss.opacity.reshape(1, n, 1)
+    rows = jnp.concatenate(
+        [gauss.xyz[0], gauss.rot[0], gauss.scale[0], opacity[0],
+         gauss.rgb[0], gauss.valid[0].reshape(n, 1),
+         jnp.zeros((n, 1), gauss.xyz.dtype)], axis=1)    # (N, 16)
+    rows = take_rows_unique(rows.astype(jnp.float32),
+                            idx.astype(jnp.float32))
     out = FlatGaussians(
-        xyz=take(gauss.xyz), rgb=take(gauss.rgb),
-        rot=take(gauss.rot), scale=take(gauss.scale),
-        opacity=take(gauss.opacity),
-        valid=take(gauss.valid) * slot_live[None])
+        xyz=rows[None, :, 0:3], rot=rows[None, :, 3:7],
+        scale=rows[None, :, 7:10], opacity=rows[None, :, 10:11],
+        rgb=rows[None, :, 11:14],
+        valid=rows[None, :, 14] * slot_live[None])
     return out, n_dropped
 
 
