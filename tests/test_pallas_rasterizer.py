@@ -156,3 +156,23 @@ def test_batched_fused_matches_per_sample(rng):
     s = float(jnp.max(jnp.abs(gs_))) + 1e-8
     np.testing.assert_allclose(np.asarray(gb) / s, np.asarray(gs_) / s,
                                atol=1e-5)
+
+
+def test_expand_rect_offsets_exact():
+    """f32 floor-division duplicate->tile offsets match integer div/mod
+    exactly for every realistic (k, span) combination (the int ops are
+    software-emulated on TPU and were ~10 ms at production pair counts)."""
+    from gps_gaussian_tpu.kernels.rasterizer.pallas_kernel import \
+        expand_rect_offsets
+
+    rng = np.random.default_rng(7)
+    for K in (4, 6, 8, 16, 64):
+        span = jnp.asarray(
+            np.concatenate([np.arange(1, 257),
+                            rng.integers(1, 256, size=4096)]
+                           ).astype(np.int32))
+        dx, dy = jax.jit(expand_rect_offsets, static_argnums=1)(span, K)
+        k = np.arange(K)[None, :]
+        s = np.asarray(span)[:, None]
+        np.testing.assert_array_equal(np.asarray(dy), k // s)
+        np.testing.assert_array_equal(np.asarray(dx), k % s)

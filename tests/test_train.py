@@ -137,3 +137,12 @@ def test_stage2_hr_novel_target(data_root, tmp_path):
     assert np.isfinite(float(metrics["loss"]))
     for k in ("num_dropped", "num_fg_dropped", "num_pair_dropped"):
         assert k in metrics and np.isfinite(float(metrics[k]))
+
+
+def test_batch_mesh_divisibility_guard(data_root, tmp_path):
+    """A batch that doesn't divide the ('data',) mesh fails at Trainer
+    construction with a config-time message, not a raw shard_map error."""
+    cfg = _cfg(data_root, tmp_path, "stage1", batch_size=3)
+    with pytest.raises(ValueError, match="divisible by the 2-device"):
+        Trainer(cfg, exp_dir=str(tmp_path / "exp_guard"),
+                mesh=sharding.make_mesh(2))
