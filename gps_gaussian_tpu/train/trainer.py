@@ -348,15 +348,21 @@ class Trainer:
 
     def train(self, num_steps: Optional[int] = None,
               trace_steps: Optional[tuple] = None,
-              trace_dir: Optional[str] = None):
+              trace_dir: Optional[str] = None,
+              eval_first: bool = False):
         """trace_steps=(lo, hi) captures a jax.profiler trace of that step
-        window into trace_dir (default <exp>/logs/profile)."""
+        window into trace_dir (default <exp>/logs/profile).  eval_first
+        runs one val sweep before any update — the step-0 anchor that the
+        reference never logs (train_stage2.py evals only every eval_freq),
+        needed to show metrics climbing *from* the untrained state."""
         cfg = self.cfg
         total = num_steps or cfg.num_steps
         running: dict = {}
         timer = StepTimer(cfg.batch_size)
         t0 = time.time()
         start_step = int(self.state.step)
+        if eval_first and start_step == 0:
+            self.run_eval(0)
         tracing = False
         for step in range(start_step, total):
             if trace_steps and step == trace_steps[0] and not tracing:

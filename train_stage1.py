@@ -18,6 +18,9 @@ def main():
     ap.add_argument("--exp_dir", default=None)
     ap.add_argument("--restore_ckpt", default=None)
     ap.add_argument("--num_steps", type=int, default=None)
+    ap.add_argument("--eval_freq", type=int, default=None)
+    ap.add_argument("--eval_first", action="store_true",
+                    help="run one val sweep at step 0 (untrained anchor)")
     args = ap.parse_args()
 
     logging.basicConfig(
@@ -37,12 +40,14 @@ def main():
         overrides["restore_ckpt"] = args.restore_ckpt
     if args.num_steps:
         overrides["num_steps"] = args.num_steps
+    if args.eval_freq:
+        overrides["record"] = {"eval_freq": args.eval_freq}
     cfg = load_config(args.config, stage="stage1", **overrides)
 
     trainer = Trainer(cfg, exp_dir=args.exp_dir)
     save_config(cfg, str(trainer.exp_dir / "cfg.json"))
     try:
-        trainer.train()
+        trainer.train(eval_first=args.eval_first)
     finally:
         trainer.close()
 
