@@ -14,6 +14,10 @@ from gps_gaussian_tpu.train.losses import l1_loss
 from gps_gaussian_tpu.train.trainer import (make_model, make_raster_config,
                                             render_novel)
 
+import pytest
+
+pytestmark = pytest.mark.fast
+
 
 def test_e2e_256_fwd_bwd():
     cfg = load_config(

@@ -4,6 +4,8 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.fast
+
 from gps_gaussian_tpu.geometry import cameras, pointcloud, stereo
 
 

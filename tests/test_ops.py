@@ -9,6 +9,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.fast
+
 from gps_gaussian_tpu.ops import corr as corr_ops
 from gps_gaussian_tpu.ops import sampling
 

@@ -5,6 +5,7 @@ binned scene as the jnp path, through the public rasterize_single dispatch.
 """
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -41,6 +42,7 @@ def _scene_args(rng, n=300, res=RES):
             jnp.asarray([0.1, 0.5, 0.9], jnp.float32))
 
 
+@pytest.mark.fast
 def test_pallas_forward_matches_jnp(rng):
     args, bg = _scene_args(rng)
     img_j, aux_j = rasterize_single(*args, bg, CFG_J)
@@ -158,6 +160,7 @@ def test_batched_fused_matches_per_sample(rng):
                                atol=1e-5)
 
 
+@pytest.mark.fast
 def test_expand_rect_offsets_exact():
     """f32 floor-division duplicate->tile offsets match integer div/mod
     exactly for every realistic (k, span) combination (the int ops are
