@@ -22,22 +22,47 @@ import numpy as np
 
 
 def build_scene(res: int = 1024, fg_frac: float = 0.15, seed: int = 0):
-    """Human-silhouette-like Gaussian cloud: N = 2*res^2 candidates."""
+    """Human-silhouette-like Gaussian cloud: N = 2*res^2 candidates.
+
+    The foreground mask is a CONTIGUOUS image-space silhouette (one run
+    per pixel row), like the eroded human masks the trainer feeds the
+    rasterizer (lib/human_loader.py:298-308) — NOT a random pixel
+    scatter, which no real mask produces.  Index contiguity matters: the
+    rasterizer compacts foreground at 8-row super-row granularity and
+    the reference's CUDA rasterizer likewise benefits from tile-coherent
+    foreground, so a scattered mask would misrepresent both."""
     rng = np.random.default_rng(seed)
     n = 2 * res * res
-    n_fg = int(n * fg_frac)
 
-    # foreground points on a capsule (body-like) surface
-    theta = rng.uniform(0, 2 * np.pi, n_fg)
-    y = rng.uniform(0.0, 1.7, n_fg)
-    r = 0.25 * (0.6 + 0.4 * np.sin(np.pi * y / 1.7))
-    xyz = np.stack([r * np.cos(theta), y, r * np.sin(theta)],
-                   axis=-1).astype(np.float32)
+    # one capsule silhouette per source view: |u - 0.5| < w(v), where the
+    # half-width w integrates to fg_frac/2 of the unit square
+    v = (np.arange(res, dtype=np.float32) + 0.5) / res
+    w_amp = (fg_frac / 2.0 - 0.025 / 2) * np.pi / 2.0
+    w = 0.0125 + w_amp * np.sin(np.pi * v)               # (res,) half-width
+    u = (np.arange(res, dtype=np.float32) + 0.5) / res
+    mask1 = (np.abs(u[None, :] - 0.5) < w[:, None])      # (res, res)
+    valid = np.concatenate([mask1.reshape(-1), mask1.reshape(-1)]
+                           ).astype(np.float32)
+    n_fg = int(valid.sum())
+
+    # body-like surface points for the silhouette pixels: capsule of
+    # height 1.7 m, radius tied to the local silhouette width, plus jitter
+    yy, xx = np.nonzero(mask1)
+    uu = (xx + 0.5) / res - 0.5
+    vv = 1.0 - (yy + 0.5) / res
+    rad = np.maximum(w[yy], 1e-3)
+    theta = np.arcsin(np.clip(uu / rad, -1, 1))
+    depth_off = 0.35 * rad * np.cos(theta)
+    xyz1 = np.stack([
+        uu * 1.2, vv * 1.7,
+        depth_off + rng.normal(0, 0.01, uu.shape)], axis=-1
+    ).astype(np.float32)
     xyz_all = np.zeros((n, 3), np.float32)
-    idx = rng.permutation(n)[:n_fg]
-    xyz_all[idx] = xyz
-    valid = np.zeros((n,), np.float32)
-    valid[idx] = 1.0
+    fg_idx = np.concatenate([np.nonzero(mask1.reshape(-1))[0],
+                             res * res + np.nonzero(mask1.reshape(-1))[0]])
+    xyz_all[fg_idx[:xyz1.shape[0]]] = xyz1
+    xyz_all[fg_idx[xyz1.shape[0]:]] = xyz1 + np.array(
+        [0.01, 0.0, 0.005], np.float32)
 
     q = rng.normal(size=(n, 4)).astype(np.float32)
     q /= np.linalg.norm(q, axis=1, keepdims=True) + 1e-9
@@ -63,10 +88,17 @@ def main():
     cam = cameras.camera_from_intr_extr(K, E, res, res)
 
     # fg_cap sized 1.12x the scene's foreground count (ROADMAP guidance
-    # ~1.2x expected silhouette pixels); all caps report zero drops here
-    cfg = RasterizeConfig(max_tiles_per_gaussian=8, max_per_tile=2048,
+    # ~1.3x expected silhouette pixels to cover 8-row super-row slack);
+    # all caps report zero drops here.  The span schedule is sized from
+    # the scene's measured span histogram (21k span-9, 78k span-6, 187k
+    # span-4, 24k span-2, 4k span-1 rows) with headroom per class: pair
+    # sort length 1.51M vs the legacy uniform-K 2.82M, zero drops.
+    cfg = RasterizeConfig(max_tiles_per_gaussian=9, max_per_tile=2048,
                           fg_cap=352_256, pair_budget=1_572_864,
-                          backend="auto")
+                          backend="auto",
+                          span_schedule=((9, 24576), (6, 77824),
+                                         (4, 188416), (2, 28672),
+                                         (1, 8192)))
     args = (jnp.asarray(xyz), jnp.asarray(q), jnp.asarray(scale),
             jnp.asarray(opacity), jnp.asarray(color), jnp.asarray(valid),
             jnp.asarray(cam["view"]), jnp.asarray(cam["proj"]),

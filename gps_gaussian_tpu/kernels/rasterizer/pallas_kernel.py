@@ -313,6 +313,273 @@ _pair_sort.defvjp(_pair_sort_fwd, _pair_sort_bwd)
 
 
 # ---------------------------------------------------------------------------
+# span-staircase pair expansion: sort rows by tile-span, give big-span rows
+# more duplicate slots
+# ---------------------------------------------------------------------------
+#
+# The legacy path expands EVERY row to max_tiles_per_gaussian duplicates, so
+# the pair sort runs over the static fg_cap * K rows (2.8M at the 1024^2
+# bench) even though only ~1.5M pairs are live — and lax.sort cost is
+# SUPERLINEAR in rows on v5e (measured: 10 operands at 2.8M/2.1M/1.6M/1.0M =
+# 22.1/12.0/7.8/4.2 ms).  The staircase instead sorts each sample's rows by
+# DESCENDING tile span (one carried 13-operand sort at fg_cap rows, ~2.5 ms)
+# and then hands out duplicate capacity by RANK: the first count_0 rows get
+# K_0 slots, the next count_1 get K_1, ... (static per-sample schedule).
+# Rows whose span exceeds their class capacity, and rows past the schedule,
+# drop the excess — counted in num_dropped exactly like the legacy K cap.
+# This cuts the pair-sort length to roughly the live pair count while
+# RAISING the top class's K above the legacy uniform cap (fewer drops).
+
+
+@jax.custom_vjp
+def sort_rows_by_key(key, cols):
+    """Carried row sort: cols (tuple of (N,) f32) reordered by i32 `key`.
+
+    `key` must be a PERMUTATION-UNIQUE packing (caller packs rank bits
+    above a slot id), so is_stable=False is deterministic.  The backward
+    un-sorts cotangents with a second sort keyed on the saved slot order —
+    the same sorts-are-cheap/gathers-are-not tradeoff as _pair_sort.
+    """
+    out, _ = _sort_rows_impl(key, cols)
+    return out
+
+
+def _sort_rows_impl(key, cols):
+    n = key.shape[0]
+    slot = jnp.arange(n, dtype=jnp.int32)
+    sorted_ = lax.sort((key, slot) + tuple(cols), num_keys=1,
+                       is_stable=False)
+    return tuple(sorted_[2:]), sorted_[1]
+
+
+def _sort_rows_fwd(key, cols):
+    out, slot_s = _sort_rows_impl(key, cols)
+    return out, (slot_s, key.shape[0])
+
+
+def _sort_rows_bwd(saved, g):
+    import numpy as np
+
+    slot_s, n = saved
+    gz = tuple(jnp.zeros((n,), jnp.float32) if gi is None else gi
+               for gi in g)
+    unsorted = lax.sort((slot_s,) + gz, num_keys=1, is_stable=False)
+    return (np.zeros((n,), dtype=jax.dtypes.float0), tuple(unsorted[1:]))
+
+
+sort_rows_by_key.defvjp(_sort_rows_fwd, _sort_rows_bwd)
+
+
+def _pack_chunks(props_s, nK, P, p_chunks):
+    """Sorted per-pair columns -> chunk-major (p_chunks + DCH, 16, 128)."""
+    cols = []
+    for p in props_s:
+        p = p[:P] if nK >= P else jnp.pad(p, (0, P - nK))
+        cols.append(p.reshape(p_chunks, CHUNK))
+    cols += [jnp.zeros((p_chunks, CHUNK), jnp.float32)] * (PROPW - NPROP)
+    props3d = jnp.stack(cols, axis=1)               # (p_chunks, 16, 128)
+    return jnp.pad(props3d, ((0, DCH), (0, 0), (0, 0)))  # DMA tail margin
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _pair_sort_pre(props9, tile_f, depth, p_chunks: int, num_tiles: int,
+                   max_per_tile: int):
+    """_pair_sort for PRE-BROADCAST pair columns (staircase path).
+
+    props9: tuple of 9 (P_in,) f32 per-pair property columns, already
+    expanded per duplicate by the caller; tile_f/depth: (P_in,) sort keys.
+    Returns (props3d, start, count) exactly like _pair_sort; the backward
+    un-sorts pair gradients by the unique pair slot and returns them in
+    caller order — the caller's broadcast structure (plain AD) reduces
+    duplicates back to rows.
+    """
+    out, _ = _pair_sort_pre_impl(props9, tile_f, depth, p_chunks,
+                                 num_tiles, max_per_tile, with_slot=False)
+    return out
+
+
+def _pair_sort_pre_impl(props9, tile_f, depth, p_chunks, num_tiles,
+                        max_per_tile, with_slot=True):
+    nK = tile_f.shape[0]
+    P = p_chunks * CHUNK
+    tile_i = lax.stop_gradient(tile_f).astype(jnp.int32)
+    depth = lax.stop_gradient(depth)
+    key, qbits = pack_sort_key(tile_i, depth, num_tiles)
+    if with_slot:
+        slot = jnp.arange(nK, dtype=jnp.int32)
+        sorted_ = lax.sort((key, slot) + tuple(props9), num_keys=1,
+                           is_stable=True)
+        key_s, slot_s, props_s = sorted_[0], sorted_[1], sorted_[2:]
+    else:
+        sorted_ = lax.sort((key,) + tuple(props9), num_keys=1,
+                           is_stable=True)
+        key_s, slot_s, props_s = sorted_[0], None, sorted_[1:]
+
+    bounds = jnp.searchsorted(
+        key_s, jnp.arange(num_tiles + 1, dtype=jnp.int32) * (1 << qbits),
+        side="left").astype(jnp.int32)
+    start = jnp.minimum(bounds[:-1], P)
+    end = jnp.minimum(bounds[1:], P)
+    count = jnp.minimum(end - start, max_per_tile)
+    return (_pack_chunks(props_s, nK, P, p_chunks), start, count), slot_s
+
+
+def _pair_sort_pre_fwd(props9, tile_f, depth, p_chunks, num_tiles,
+                       max_per_tile):
+    out, slot_s = _pair_sort_pre_impl(props9, tile_f, depth, p_chunks,
+                                      num_tiles, max_per_tile)
+    return out, (slot_s, tile_f, depth)
+
+
+def _pair_sort_pre_bwd(p_chunks, num_tiles, max_per_tile, saved, cots):
+    slot_s, tile_f, depth = saved
+    g_props3d, _, _ = cots
+    nK = tile_f.shape[0]
+    P = p_chunks * CHUNK
+    g3 = g_props3d[:p_chunks]
+    gcols = []
+    for r in range(NPROP):
+        gc = g3[:, r, :].reshape(P)
+        gc = gc[:nK] if P >= nK else jnp.pad(gc, (0, nK - P))
+        gcols.append(gc)
+    unsorted = lax.sort((slot_s,) + tuple(gcols), num_keys=1,
+                        is_stable=False)
+    return (tuple(unsorted[1:]), jnp.zeros_like(tile_f),
+            jnp.zeros_like(depth))
+
+
+_pair_sort_pre.defvjp(_pair_sort_pre_fwd, _pair_sort_pre_bwd)
+
+
+def render_sorted_staircase(stacked, height: int, width: int,
+                            span_schedule, max_per_tile: int, pair_budget,
+                            bg_color, interpret: bool = False):
+    """render_sorted with the span-staircase pair expansion.
+
+    span_schedule: per-sample tuple of (K_c, count_c) pairs, K descending;
+    sample rows are span-sorted and rank r gets the K of its class.  Rows
+    past sum(count_c) contribute no pairs (their spans are counted as
+    drops — with fg compaction ahead of this they are dead rows).
+    """
+    batch, n = stacked.shape[0], stacked.shape[1]
+    tiles_y, tiles_x = _grids(height, width)
+    num_tiles = tiles_y * tiles_x
+    if batch * (1 << 28) > 2 ** 31:
+        raise ValueError("staircase span key packs b|span|slot into i32: "
+                         f"batch {batch} > 8 unsupported")
+    if n > 1 << 22:
+        raise ValueError(f"staircase span key: fg_cap {n} > 2^22")
+    counts = [c for _, c in span_schedule]
+    ks = [k for k, _ in span_schedule]
+    if sum(counts) > n:
+        raise ValueError(f"span_schedule covers {sum(counts)} rows > "
+                         f"fg_cap {n}")
+    if any(k > 63 for k in ks):
+        raise ValueError("span_schedule K > 63 (span key uses 6 bits)")
+
+    flat = stacked.reshape(batch * n, PROPW)
+    mean2d = lax.stop_gradient(flat[:, 0:2])
+    radius = lax.stop_gradient(flat[:, 10])
+
+    # span of every row (uncapped rect area, clamped to the 6-bit field)
+    _, _, _, _, total_unc = tile_rects(mean2d, radius, tiles_y, tiles_x,
+                                       TILE, 63)
+    span6 = jnp.clip(total_unc, 0, 63)
+
+    # per-sample descending-span key: b (3 bits) | 63-span (6) | slot (22)
+    slot_within = jnp.tile(jnp.arange(n, dtype=jnp.int32), batch)
+    b_idx = jnp.repeat(jnp.arange(batch, dtype=jnp.int32), n)
+    key = (b_idx << 28) + ((63 - span6) << 22) + slot_within
+
+    cols = tuple(flat[:, c] for c in range(11))      # 9 props + depth + rad
+    cols_s = sort_rows_by_key(key, cols)
+    depth_s = lax.stop_gradient(cols_s[9])
+    radius_s = lax.stop_gradient(cols_s[10])
+
+    # per-class expansion, vectorized over the batch via (B, n) reshape
+    def cls_view(x, off, cnt):
+        return x.reshape(batch, n)[:, off:off + cnt]
+
+    pair_props = [[] for _ in range(NPROP)]
+    pair_tile, pair_depth = [], []
+    num_dropped = jnp.zeros((batch,), jnp.int32)
+    total_capped_sum = jnp.zeros((batch,), jnp.int32)
+    off = 0
+    for k_c, cnt in span_schedule:
+        m2 = jnp.stack([cls_view(cols_s[0], off, cnt),
+                        cls_view(cols_s[1], off, cnt)],
+                       axis=-1).reshape(batch * cnt, 2)
+        rad = cls_view(radius_s, off, cnt).reshape(batch * cnt)
+        x_min, y_min, span_x, tc, tu = tile_rects(
+            lax.stop_gradient(m2), rad, tiles_y, tiles_x, TILE, k_c)
+        num_dropped += jnp.sum((tu - tc).reshape(batch, cnt), axis=1)
+        total_capped_sum += jnp.sum(tc.reshape(batch, cnt), axis=1)
+
+        dx, dy = expand_rect_offsets(jnp.maximum(span_x, 1), k_c)
+        kk = jnp.arange(k_c, dtype=jnp.int32)
+        live = kk[None, :] < tc[:, None]
+        tid = (y_min[:, None] + dy) * tiles_x + (x_min[:, None] + dx)
+        boff = jnp.repeat(
+            jnp.arange(batch, dtype=jnp.int32) * num_tiles, cnt)
+        tid = tid + boff[:, None]
+        tid = jnp.where(live, tid, batch * num_tiles)
+        pair_tile.append(tid.reshape(-1))
+        pair_depth.append(jnp.broadcast_to(
+            cls_view(depth_s, off, cnt).reshape(-1, 1),
+            (batch * cnt, k_c)).reshape(-1))
+        for p in range(NPROP):
+            pair_props[p].append(jnp.broadcast_to(
+                cls_view(cols_s[p], off, cnt).reshape(-1, 1),
+                (batch * cnt, k_c)).reshape(-1))
+        off += cnt
+
+    # rows past the schedule: their (uncapped) spans are dropped pairs
+    if off < n:
+        tail_m2 = jnp.stack([cls_view(cols_s[0], off, n - off),
+                             cls_view(cols_s[1], off, n - off)],
+                            axis=-1).reshape(batch * (n - off), 2)
+        tail_rad = cls_view(radius_s, off, n - off).reshape(-1)
+        _, _, _, _, tail_tu = tile_rects(lax.stop_gradient(tail_m2),
+                                         tail_rad, tiles_y, tiles_x,
+                                         TILE, 63)
+        num_dropped += jnp.sum(tail_tu.reshape(batch, n - off), axis=1)
+
+    props9 = tuple(jnp.concatenate(p) for p in pair_props)
+    tile_flat = jnp.concatenate(pair_tile).astype(jnp.float32)
+    depth_flat = jnp.concatenate(pair_depth)
+
+    p_in = tile_flat.shape[0]
+    p_lim = p_in if pair_budget is None else min(
+        batch * int(pair_budget), p_in)
+    p_chunks = -(-p_lim // CHUNK)
+
+    props3d, start, count = _pair_sort_pre(
+        props9, tile_flat, depth_flat, p_chunks, batch * num_tiles,
+        max_per_tile)
+
+    num_pair_dropped = (total_capped_sum
+                        - jnp.sum(count.reshape(batch, num_tiles), axis=1))
+
+    out = _composite_core(props3d, start, count, batch, tiles_y,
+                          tiles_x, interpret)
+
+    bg = jnp.asarray(bg_color, jnp.float32)
+    img_tiles = out[..., 0:3] + out[..., 3:4] * bg[None, None, :]
+    tfin_tiles = out[..., 3:4]
+    return (_untile(img_tiles, batch, tiles_y, tiles_x, height, width),
+            _untile(tfin_tiles, batch, tiles_y, tiles_x, height, width),
+            num_dropped, num_pair_dropped)
+
+
+def _untile(x, batch, tiles_y, tiles_x, height, width):
+    ch = x.shape[-1]
+    x = x.reshape(batch, tiles_y, tiles_x, TILE, TILE, ch)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(batch, tiles_y * TILE,
+                     tiles_x * TILE, ch)[:, :height, :width]
+
+
+# ---------------------------------------------------------------------------
 # compositing kernels
 # ---------------------------------------------------------------------------
 

@@ -74,14 +74,29 @@ _MANAGERS: dict = {}
 def _manager(ckpt_dir: str):
     """One CheckpointManager per directory: orbax async saves coordinate
     through per-manager background threads, so churning fresh managers for
-    every save deadlocks the signaling barrier."""
+    every save deadlocks the signaling barrier.
+
+    Step dirs named either `<step>` (orbax default; what save_checkpoint
+    writes) or `ckpt_<step>` (the archival naming used for committed run
+    artifacts, e.g. runs/synth256/stage1/ckpt_2500) are both recognised —
+    the prefix is auto-detected from the directory contents."""
+    import re
+
     import orbax.checkpoint as ocp
 
     key = str(Path(ckpt_dir).absolute())
     if key not in _MANAGERS:
+        prefix = None
+        p = Path(key)
+        if p.is_dir() and not any(re.fullmatch(r"\d+", c.name)
+                                  for c in p.iterdir() if c.is_dir()):
+            if any(re.fullmatch(r"ckpt_\d+", c.name)
+                   for c in p.iterdir() if c.is_dir()):
+                prefix = "ckpt"
         _MANAGERS[key] = ocp.CheckpointManager(
             key, options=ocp.CheckpointManagerOptions(max_to_keep=3,
-                                                      create=True))
+                                                      create=True,
+                                                      step_prefix=prefix))
     return _MANAGERS[key]
 
 
