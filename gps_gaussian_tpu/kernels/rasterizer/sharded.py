@@ -106,10 +106,20 @@ def rasterize_tile_sharded(gaussians: FlatGaussians, camera: NovelCamera,
         stacked = stack_rows(projd.mean2d, projd.conic, projd.opacity,
                              projd.color, projd.depth, projd.radius)
         stacked, band_dropped = _band_compact(stacked, y0, band_h, cap)
-        img, trans, num_dropped, num_pair_dropped = render_sorted(
-            stacked[None], band_h, width, cfg.max_tiles_per_gaussian,
-            cfg.max_per_tile, cfg.pair_budget, bg,
-            interpret=cfg.interpret or jax.default_backend() != "tpu")
+        interp = cfg.interpret or jax.default_backend() != "tpu"
+        if cfg.span_schedule is not None:
+            # per-BAND schedule: counts must sum to <= the band cap
+            from gps_gaussian_tpu.kernels.rasterizer.pallas_kernel import \
+                render_sorted_staircase
+            img, trans, num_dropped, num_pair_dropped = \
+                render_sorted_staircase(
+                    stacked[None], band_h, width, cfg.span_schedule,
+                    cfg.max_per_tile, cfg.pair_budget, bg,
+                    interpret=interp)
+        else:
+            img, trans, num_dropped, num_pair_dropped = render_sorted(
+                stacked[None], band_h, width, cfg.max_tiles_per_gaussian,
+                cfg.max_per_tile, cfg.pair_budget, bg, interpret=interp)
         aux = RasterizeAux(
             transmittance=trans,
             num_dropped=jax.lax.psum(num_dropped[0], axis_name)[None],
