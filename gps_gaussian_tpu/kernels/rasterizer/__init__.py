@@ -42,6 +42,10 @@ class RasterizeConfig:
     # superlinear in rows) while raising the top class K above the
     # uniform cap; overflow is counted in num_dropped as before.
     span_schedule: Optional[tuple] = None
+    # bin with per-axis 3-sigma AABBs (staircase path only) instead of
+    # the CUDA circumscribed circle: strictly fewer pairs; differences
+    # bounded by alpha <= opacity * exp(-4.5) outside the 3-sigma ellipse
+    ellipse_rects: bool = False
 
     def resolve_backend(self) -> str:
         if self.backend != "auto":
@@ -174,7 +178,8 @@ def _dispatch_render(stacked, height: int, width: int,
     if cfg.span_schedule is not None:
         return render_sorted_staircase(
             stacked, height, width, cfg.span_schedule, cfg.max_per_tile,
-            cfg.pair_budget, bg, interpret=cfg.interpret)
+            cfg.pair_budget, bg, interpret=cfg.interpret,
+            ellipse=cfg.ellipse_rects)
     return render_sorted(
         stacked, height, width, cfg.max_tiles_per_gaussian,
         cfg.max_per_tile, cfg.pair_budget, bg, interpret=cfg.interpret)

@@ -165,6 +165,48 @@ def expand_rect_offsets(span_x, max_tiles: int):
     return dx, dy
 
 
+def ellipse_radii(conic, radius):
+    """Per-axis 3-sigma half-extents from the conic (ellipse AABB).
+
+    The conic is the inverse 2D covariance (a, b, c) = (C, -B, A)/det, so
+    cov_xx = conic_c / det' and cov_yy = conic_a / det' with
+    det' = conic_a * conic_c - conic_b^2.  The 3-sigma ellipse's AABB has
+    half-extents exactly 3*sqrt(cov_xx) x 3*sqrt(cov_yy) — always inside
+    the circumscribed circle the CUDA rasterizer uses (3*sqrt(lambda_max),
+    preprocess.py radius), so per-axis rects bin strictly FEWER tiles.
+    Pairs culled relative to circle rects contribute alpha at most
+    opacity * exp(-4.5) ~= 0.011 to pixels outside the 3-sigma ellipse —
+    the quality-neutral cut the reference makes INSIDE the ellipse via its
+    1/255 alpha threshold.  Culled rows (radius 0) return (0, 0)."""
+    ca, cb, cc = conic[:, 0], conic[:, 1], conic[:, 2]
+    det = jnp.maximum(ca * cc - cb * cb, 1e-12)
+    live = radius > 0.0
+    rx = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(cc / det, 0.0)))
+    ry = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(ca / det, 0.0)))
+    rx = jnp.where(live, jnp.minimum(rx, radius), 0.0)
+    ry = jnp.where(live, jnp.minimum(ry, radius), 0.0)
+    return rx, ry
+
+
+def tile_rects_xy(mean2d, rx, ry, tiles_y: int, tiles_x: int, tile: int,
+                  max_tiles: int):
+    """tile_rects with independent x/y half-extents (ellipse AABB)."""
+    mean2d = lax.stop_gradient(mean2d)
+    x_min = jnp.clip(jnp.floor((mean2d[:, 0] - rx) / tile), 0,
+                     tiles_x).astype(jnp.int32)
+    x_max = jnp.clip(jnp.floor((mean2d[:, 0] + rx + tile - 1) / tile),
+                     0, tiles_x).astype(jnp.int32)
+    y_min = jnp.clip(jnp.floor((mean2d[:, 1] - ry) / tile), 0,
+                     tiles_y).astype(jnp.int32)
+    y_max = jnp.clip(jnp.floor((mean2d[:, 1] + ry + tile - 1) / tile),
+                     0, tiles_y).astype(jnp.int32)
+    span_x = x_max - x_min
+    span_y = y_max - y_min
+    total = jnp.where((rx > 0.0) & (ry > 0.0), span_x * span_y, 0)
+    total_capped = jnp.minimum(total, max_tiles)
+    return x_min, y_min, span_x, total_capped, total
+
+
 def pack_sort_key(tile_i, depth, total_tiles: int):
     """(tile, depth) packed into ONE i32 sort key.
 
@@ -453,13 +495,17 @@ _pair_sort_pre.defvjp(_pair_sort_pre_fwd, _pair_sort_pre_bwd)
 
 def render_sorted_staircase(stacked, height: int, width: int,
                             span_schedule, max_per_tile: int, pair_budget,
-                            bg_color, interpret: bool = False):
+                            bg_color, interpret: bool = False,
+                            ellipse: bool = False):
     """render_sorted with the span-staircase pair expansion.
 
     span_schedule: per-sample tuple of (K_c, count_c) pairs, K descending;
     sample rows are span-sorted and rank r gets the K of its class.  Rows
     past sum(count_c) contribute no pairs (their spans are counted as
     drops — with fg compaction ahead of this they are dead rows).
+    ellipse=True bins with per-axis 3-sigma AABBs (ellipse_radii) instead
+    of the CUDA circumscribed circle: strictly fewer pairs, alpha <= 0.011
+    difference confined outside the 3-sigma ellipse.
     """
     batch, n = stacked.shape[0], stacked.shape[1]
     tiles_y, tiles_x = _grids(height, width)
@@ -481,9 +527,14 @@ def render_sorted_staircase(stacked, height: int, width: int,
     mean2d = lax.stop_gradient(flat[:, 0:2])
     radius = lax.stop_gradient(flat[:, 10])
 
+    def rects(m2, rad, conic, k_cap):
+        if ellipse:
+            rx, ry = ellipse_radii(lax.stop_gradient(conic), rad)
+            return tile_rects_xy(m2, rx, ry, tiles_y, tiles_x, TILE, k_cap)
+        return tile_rects(m2, rad, tiles_y, tiles_x, TILE, k_cap)
+
     # span of every row (uncapped rect area, clamped to the 6-bit field)
-    _, _, _, _, total_unc = tile_rects(mean2d, radius, tiles_y, tiles_x,
-                                       TILE, 63)
+    _, _, _, _, total_unc = rects(mean2d, radius, flat[:, 2:5], 63)
     span6 = jnp.clip(total_unc, 0, 63)
 
     # per-sample descending-span key: b (3 bits) | 63-span (6) | slot (22)
@@ -510,8 +561,12 @@ def render_sorted_staircase(stacked, height: int, width: int,
                         cls_view(cols_s[1], off, cnt)],
                        axis=-1).reshape(batch * cnt, 2)
         rad = cls_view(radius_s, off, cnt).reshape(batch * cnt)
-        x_min, y_min, span_x, tc, tu = tile_rects(
-            lax.stop_gradient(m2), rad, tiles_y, tiles_x, TILE, k_c)
+        con = lax.stop_gradient(jnp.stack(
+            [cls_view(cols_s[2], off, cnt), cls_view(cols_s[3], off, cnt),
+             cls_view(cols_s[4], off, cnt)],
+            axis=-1).reshape(batch * cnt, 3))
+        x_min, y_min, span_x, tc, tu = rects(
+            lax.stop_gradient(m2), rad, con, k_c)
         num_dropped += jnp.sum((tu - tc).reshape(batch, cnt), axis=1)
         total_capped_sum += jnp.sum(tc.reshape(batch, cnt), axis=1)
 
@@ -539,9 +594,11 @@ def render_sorted_staircase(stacked, height: int, width: int,
                              cls_view(cols_s[1], off, n - off)],
                             axis=-1).reshape(batch * (n - off), 2)
         tail_rad = cls_view(radius_s, off, n - off).reshape(-1)
-        _, _, _, _, tail_tu = tile_rects(lax.stop_gradient(tail_m2),
-                                         tail_rad, tiles_y, tiles_x,
-                                         TILE, 63)
+        tail_con = lax.stop_gradient(jnp.stack(
+            [cls_view(cols_s[c], off, n - off) for c in (2, 3, 4)],
+            axis=-1).reshape(batch * (n - off), 3))
+        _, _, _, _, tail_tu = rects(lax.stop_gradient(tail_m2), tail_rad,
+                                    tail_con, 63)
         num_dropped += jnp.sum(tail_tu.reshape(batch, n - off), axis=1)
 
     props9 = tuple(jnp.concatenate(p) for p in pair_props)

@@ -115,7 +115,7 @@ def rasterize_tile_sharded(gaussians: FlatGaussians, camera: NovelCamera,
                 render_sorted_staircase(
                     stacked[None], band_h, width, cfg.span_schedule,
                     cfg.max_per_tile, cfg.pair_budget, bg,
-                    interpret=interp)
+                    interpret=interp, ellipse=cfg.ellipse_rects)
         else:
             img, trans, num_dropped, num_pair_dropped = render_sorted(
                 stacked[None], band_h, width, cfg.max_tiles_per_gaussian,

@@ -81,6 +81,23 @@ def test_staircase_matches_legacy_bitwise(scene):
         assert int(aux_s.num_pair_dropped) == 0
 
 
+def test_ellipse_rects_close_and_cheaper(scene):
+    """Per-axis (ellipse-AABB) binning: image within the alpha<=0.011
+    tail bound of circle rects, never MORE pairs, grads still flow."""
+    base = dict(backend="pallas", interpret=True, fg_cap=320,
+                max_per_tile=512, pair_budget=4096)
+    circle = RasterizeConfig(span_schedule=((16, 320),), **base)
+    ellipse = RasterizeConfig(span_schedule=((16, 320),),
+                              ellipse_rects=True, **base)
+    img_c, aux_c, g_c = _run(scene, circle)
+    img_e, aux_e, g_e = _run(scene, ellipse)
+    assert float(jnp.abs(img_c - img_e).max()) < 0.05
+    # drops counted against the (smaller) ellipse totals stay zero here
+    assert int(aux_e.num_dropped) == 0
+    for g in g_e:
+        assert bool(jnp.isfinite(g).all())
+
+
 def test_staircase_counts_drops(scene):
     """A starved schedule must COUNT the dropped pairs, never silently
     truncate (SURVEY.md §7 hard part 2)."""
