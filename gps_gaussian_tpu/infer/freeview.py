@@ -128,13 +128,17 @@ class FreeviewRenderer:
 
     def gaussians(self, batch: StereoSample) -> FlatGaussians:
         gauss, n_dropped = self._forward(batch)
-        drops = int(n_dropped)
-        if drops:
-            import logging
+        # reading the counter is a host sync that breaks dispatch
+        # pipelining — throttle it exactly like the per-view drop checks
+        every = self.check_drops_every
+        if every and self._frames_rendered % every == 0:
+            drops = int(n_dropped)
+            if drops:
+                import logging
 
-            logging.getLogger("gps_tpu.infer").warning(
-                "foreground compaction dropped %d valid gaussians this "
-                "frame (raise raster.fg_cap)", drops)
+                logging.getLogger("gps_tpu.infer").warning(
+                    "foreground compaction dropped %d valid gaussians this "
+                    "frame (raise raster.fg_cap)", drops)
         return gauss
 
     def render(self, gauss: FlatGaussians, camera: NovelCamera):
@@ -189,13 +193,16 @@ class FreeviewRenderer:
         gauss = self.gaussians(batch)
         res = self.cfg.dataset.src_res
         out_res = res * 2 if self.cfg.dataset.use_hr_img else res
-        images = []
+        # two-phase sweep: dispatch EVERY view first (render() is an async
+        # jit dispatch), then materialize — the device pipelines all N
+        # renders back-to-back instead of stalling on each host transfer
+        handles = []
         for i in range(n_views):
             ratio = (i + 0.5) / n_views
             cam = self.novel_camera_at(sample, ratio, out_res, out_res)
             img, _ = self.render(gauss, cam)
-            images.append(np.clip(np.asarray(img[0]), 0, 1))
-        return images
+            handles.append(img)
+        return [np.clip(np.asarray(h[0]), 0, 1) for h in handles]
 
     def infer_sequence(self, ratio: float = 0.5):
         """Render every dataset frame at one fixed novel ratio
@@ -203,13 +210,21 @@ class FreeviewRenderer:
         assert self.dataset is not None
         res = self.cfg.dataset.src_res
         out_res = res * 2 if self.cfg.dataset.use_hr_img else res
+        # 1-deep software pipeline: frame i+1's forward+render dispatch
+        # overlaps frame i's device->host transfer and the caller's
+        # decode/save work
+        prev = None
         for idx in range(len(self.dataset)):
             sample = self.dataset.get_test_sample(idx)
             batch = collate([sample])
             gauss = self.gaussians(batch)
             cam = self.novel_camera_at(sample, ratio, out_res, out_res)
             img, _ = self.render(gauss, cam)
-            yield sample["name"], np.clip(np.asarray(img[0]), 0, 1)
+            if prev is not None:
+                yield prev[0], np.clip(np.asarray(prev[1][0]), 0, 1)
+            prev = (sample["name"], img)
+        if prev is not None:
+            yield prev[0], np.clip(np.asarray(prev[1][0]), 0, 1)
 
 
 def load_renderer(cfg: Config, ckpt_dir: str,
