@@ -279,10 +279,14 @@ class Trainer:
                 f"shard_maps the batch axis over it (e.g. stage1's bs=6 "
                 f"needs a 1/2/3/6-chip mesh, or raise batch_size)")
 
-        # init params from one host batch
+        # init params from one host batch.  model.init must be jitted: un-
+        # jitted flax init dispatches each traced op eagerly, and through a
+        # remote-TPU tunnel (~24 ms RPC per dispatch) a stage-2 init takes
+        # MINUTES; jitted it is one compile + one dispatch
         init_batch = self._device_batch(next(self.train_loader))
-        params = self.model.init(jax.random.PRNGKey(cfg.seed), init_batch,
-                                 iters=cfg.raft.train_iters)
+        params = jax.jit(
+            lambda k, b: self.model.init(k, b, iters=cfg.raft.train_iters)
+        )(jax.random.PRNGKey(cfg.seed), init_batch)
         if self.stage == "stage2" and cfg.stage1_ckpt:
             params, n = state_lib.restore_params_partial(
                 cfg.stage1_ckpt, params)
