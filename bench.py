@@ -89,16 +89,20 @@ def main():
 
     # fg_cap sized 1.12x the scene's foreground count (ROADMAP guidance
     # ~1.3x expected silhouette pixels to cover 8-row super-row slack);
-    # all caps report zero drops here.  The span schedule is sized from
-    # the scene's measured span histogram (21k span-9, 78k span-6, 187k
-    # span-4, 24k span-2, 4k span-1 rows) with headroom per class: pair
-    # sort length 1.51M vs the legacy uniform-K 2.82M, zero drops.
+    # all caps report zero drops here.  ellipse_rects bins with the
+    # 3-sigma ellipse AABB (strictly fewer pairs than the CUDA
+    # circumscribed circle: 1.23M live vs 1.46M on this scene, alpha
+    # difference bounded by opacity*exp(-4.5) outside 3 sigma).  The span
+    # schedule is sized from the measured ELLIPSE span histogram (4.6k
+    # span-9, 47k span-6, 196k span-3/4, 59k span-2, 8k span-1 rows)
+    # with 15-30% headroom per class: pair sort length 1.45M vs the
+    # legacy uniform-K 2.82M, zero drops.
     cfg = RasterizeConfig(max_tiles_per_gaussian=9, max_per_tile=2048,
                           fg_cap=352_256, pair_budget=1_572_864,
-                          backend="auto",
-                          span_schedule=((9, 24576), (6, 77824),
-                                         (4, 188416), (2, 28672),
-                                         (1, 8192)))
+                          backend="auto", ellipse_rects=True,
+                          span_schedule=((9, 6144), (6, 56320),
+                                         (4, 225280), (2, 71680),
+                                         (1, 16384)))
     args = (jnp.asarray(xyz), jnp.asarray(q), jnp.asarray(scale),
             jnp.asarray(opacity), jnp.asarray(color), jnp.asarray(valid),
             jnp.asarray(cam["view"]), jnp.asarray(cam["proj"]),

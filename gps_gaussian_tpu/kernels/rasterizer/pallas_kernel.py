@@ -447,14 +447,21 @@ def _pair_sort_pre_impl(props9, tile_f, depth, p_chunks, num_tiles,
     tile_i = lax.stop_gradient(tile_f).astype(jnp.int32)
     depth = lax.stop_gradient(depth)
     key, qbits = pack_sort_key(tile_i, depth, num_tiles)
+    # is_stable=False: ties in the packed (tile, qdepth) key are pairs in
+    # the same sub-mm depth bin, whose blend order is arbitrary in the
+    # reference too (CUDA radix ties resolve by duplication order).  The
+    # sort network is still deterministic, and the backward's unsort keys
+    # on the carried UNIQUE slot, so gradients always match the order
+    # actually produced.  Stability would cost one hidden iota operand
+    # pass (XLA StableSortExpander) over the full pair length.
     if with_slot:
         slot = jnp.arange(nK, dtype=jnp.int32)
         sorted_ = lax.sort((key, slot) + tuple(props9), num_keys=1,
-                           is_stable=True)
+                           is_stable=False)
         key_s, slot_s, props_s = sorted_[0], sorted_[1], sorted_[2:]
     else:
         sorted_ = lax.sort((key,) + tuple(props9), num_keys=1,
-                           is_stable=True)
+                           is_stable=False)
         key_s, slot_s, props_s = sorted_[0], None, sorted_[1:]
 
     bounds = jnp.searchsorted(

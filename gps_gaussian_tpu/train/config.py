@@ -97,6 +97,15 @@ class Config:
     seed: int = 1314
     remat: bool = False   # rematerialize the model fwd (HBM for FLOPs
                           # at hi-res stage2; SURVEY.md §7 hard part 4)
+    # per-parameter-group lr multipliers keyed by TOP-LEVEL module name
+    # (e.g. {"img_encoder": 0.1, "raft_stereo": 0.1}).  The reference has
+    # a single param group; this exists because stage-2 warm starts mix
+    # pretrained (encoder/raft) and fresh (gs_regresser) parameters, and
+    # at short proof schedules the flow-dominated gradient drags the
+    # shared encoder out from under the fresh gsnet heads faster than
+    # they can adapt — measured as global opacity collapse (val PSNR
+    # 33 -> 23 dB in 300 steps on synth-256).  None = single group.
+    lr_group_scales: Optional[dict] = None
     raft: RaftConfig = RaftConfig()
     gsnet: GsnetConfig = GsnetConfig()
     dataset: DataConfig = DataConfig()

@@ -50,14 +50,45 @@ def onecycle_linear(peak_lr: float, total_steps: int,
     ], [up])
 
 
+def _scale_updates_by_group(scales: dict) -> optax.GradientTransformation:
+    """Post-Adam update scaling per TOP-LEVEL param-collection name.
+
+    Scaling the adamw UPDATE is exactly a per-group learning rate (the
+    update is lr-linear, weight-decay term included — matching torch
+    param-group semantics).  Unmatched groups keep scale 1.0."""
+
+    def init(params):
+        del params
+        return optax.EmptyState()
+
+    def update(updates, state, params=None):
+        del params
+
+        def scale(path, u):
+            top = path[1].key if len(path) > 1 else (
+                path[0].key if path else None)
+            # params trees look like {"params": {module: ...}}; fall back
+            # to the first key if there is no "params" wrapper
+            if path and path[0].key in scales:
+                top = path[0].key
+            return u * scales.get(top, 1.0)
+
+        return jax.tree_util.tree_map_with_path(scale, updates), state
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_optimizer(cfg: Config) -> optax.GradientTransformation:
     sched = onecycle_linear(
         cfg.lr, cfg.scheduler_steps or (cfg.num_steps + 100))
-    return optax.chain(
+    chain = [
         optax.clip_by_global_norm(cfg.grad_clip),
         optax.adamw(learning_rate=sched, weight_decay=cfg.wdecay,
                     eps=1e-8),
-    )
+    ]
+    if cfg.lr_group_scales:
+        chain.append(_scale_updates_by_group(dict(cfg.lr_group_scales)))
+    return optax.chain(*chain)
 
 
 def create_state(cfg: Config, params) -> TrainState:

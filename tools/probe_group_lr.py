@@ -1,0 +1,93 @@
+"""Diagnostic: stage-2 full loss (flow + photometric) with per-group lr.
+
+Round-4 finding: with a single lr the flow-dominated gradient drags the
+shared image encoder out from under the fresh gsnet heads and opacity
+collapses globally (val PSNR 33 -> 23 dB in 300 steps on synth-256; see
+tools/probe_photo_only.py for the photometric-only control that climbs).
+This probe runs the REAL train step (trainer.make_train_step) with
+cfg.lr_group_scales downweighting the pretrained backbone, and logs val
+PSNR every 50 steps.
+
+Usage: python tools/probe_group_lr.py [--steps 300] [--backbone-scale 0.1]
+       [--lr 5e-5]
+"""
+import sys; sys.path.insert(0, "/root/repo")  # noqa: E702
+import argparse
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=300)
+    ap.add_argument("--backbone-scale", type=float, default=0.1)
+    ap.add_argument("--encoder-scale", type=float, default=None,
+                    help="separate scale for the shared img_encoder "
+                         "(default: same as --backbone-scale)")
+    ap.add_argument("--lr", type=float, default=5e-5)
+    ap.add_argument("--eval-every", type=int, default=50)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from gps_gaussian_tpu.data.loader import BatchLoader, eval_batches
+    from gps_gaussian_tpu.data.thuman import DatasetConfig, StereoHumanDataset
+    from gps_gaussian_tpu.train import losses
+    from gps_gaussian_tpu.train import state as state_lib
+    from gps_gaussian_tpu.train import trainer as T
+    from gps_gaussian_tpu.train.config import load_config
+
+    enc = (args.encoder_scale if args.encoder_scale is not None
+           else args.backbone_scale)
+    scales = {"img_encoder": enc,
+              "raft_stereo": args.backbone_scale}
+    cfg = load_config(
+        "/root/repo/configs/stage2_synth256.yaml", stage="stage2",
+        **{"dataset": {"data_root": "/root/repo/data/synth256"},
+           "lr": args.lr,
+           "lr_group_scales": scales})
+    ds_cfg = DatasetConfig(data_root=cfg.dataset.data_root, src_res=256,
+                           source_ids=(0, 1), train_novel_ids=(2, 3, 4),
+                           val_novel_ids=(3,), use_hr_img=True,
+                           use_processed_data=True, znear=0.01, zfar=100.0)
+    ds = StereoHumanDataset(ds_cfg, "train")
+    vds = StereoHumanDataset(ds_cfg, "val")
+    model = T.make_model(cfg, with_gs=True)
+    rcfg = T.make_raster_config(cfg)
+    loader = BatchLoader(ds, cfg.batch_size, (2, 3, 4), seed=0, num_procs=4)
+
+    vbatch, _ = next(iter(eval_batches(vds, cfg.batch_size, (3,))))
+    params = jax.jit(lambda k, b: model.init(k, b, iters=3))(
+        jax.random.PRNGKey(1314), vbatch)
+    params, n = state_lib.restore_params_partial(
+        "/root/repo/runs/synth256/stage1", params)
+    print(f"warm start: {n} leaves; lr {args.lr} backbone x"
+          f"{args.backbone_scale}", flush=True)
+    state = state_lib.create_state(cfg, params)
+
+    train_step = jax.jit(T.make_train_step(model, cfg, "stage2", rcfg),
+                         donate_argnums=(0,))
+    bg = jnp.zeros(3, jnp.float32)
+
+    @jax.jit
+    def val_psnr(params, batch):
+        out = model.apply(params, batch, iters=3, test_mode=True)
+        img_pred, _ = T.render_novel(out, batch.novel, bg, rcfg)
+        return (losses.psnr(img_pred, batch.novel.img).mean(),
+                losses.l1_loss(img_pred, batch.novel.img))
+
+    p, l = val_psnr(state.params, vbatch)
+    print(f"step 0: val psnr {float(p):.2f} l1 {float(l):.4f}", flush=True)
+    for i in range(args.steps):
+        batch = next(loader)
+        batch = jax.tree.map(jnp.asarray, batch)
+        state, metrics = train_step(state, batch)
+        if (i + 1) % args.eval_every == 0:
+            p, l = val_psnr(state.params, vbatch)
+            print(f"step {i + 1}: train l1 {float(metrics['l1']):.4f} "
+                  f"epe {float(metrics['train_epe']):.3f} | "
+                  f"val psnr {float(p):.2f} l1 {float(l):.4f}", flush=True)
+    loader.close()
+
+
+if __name__ == "__main__":
+    main()
