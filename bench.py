@@ -73,10 +73,37 @@ def build_scene(res: int = 1024, fg_frac: float = 0.15, seed: int = 0):
     return xyz_all, q, scale, opacity, color, valid
 
 
+def bench_raster_config():
+    """The headline-bench RasterizeConfig (module-level so tests can vet
+    its literals through validate_span_schedule without running the bench
+    — a pure-config error must never reach the driver again, BENCH_r04).
+
+    fg_cap sized 1.12x the scene's foreground count (ROADMAP guidance
+    ~1.3x expected silhouette pixels to cover 8-row super-row slack);
+    all caps report zero drops here.  ellipse_rects bins with the
+    3-sigma ellipse AABB (strictly fewer pairs than the CUDA
+    circumscribed circle: 1.23M live vs 1.46M on this scene, alpha
+    difference bounded by opacity*exp(-4.5) outside 3 sigma).  The span
+    schedule is sized from the measured ELLIPSE span histogram (4.6k
+    span-9, 47k span-6, 196k span-3/4, 59k span-2, 8k span-1 rows =
+    ~314k fg rows) with headroom per class; class counts must sum to
+    <= fg_cap (rows past the foreground are dead after compaction, so
+    the tail classes absorb the slack).  Pair sort length 1.39M vs the
+    legacy uniform-K 2.82M.
+    """
+    from gps_gaussian_tpu.kernels.rasterizer import RasterizeConfig
+
+    return RasterizeConfig(max_tiles_per_gaussian=9, max_per_tile=2048,
+                           fg_cap=352_256, pair_budget=1_572_864,
+                           backend="auto", ellipse_rects=True,
+                           span_schedule=((9, 6144), (6, 56320),
+                                          (4, 217088), (2, 65536),
+                                          (1, 7168)))
+
+
 def main():
     from gps_gaussian_tpu.geometry import cameras
-    from gps_gaussian_tpu.kernels.rasterizer import (RasterizeConfig,
-                                                     rasterize_single)
+    from gps_gaussian_tpu.kernels.rasterizer import rasterize_single
 
     res = 1024
     xyz, q, scale, opacity, color, valid = build_scene(res)
@@ -87,22 +114,7 @@ def main():
     E[2, 3] = 2.0
     cam = cameras.camera_from_intr_extr(K, E, res, res)
 
-    # fg_cap sized 1.12x the scene's foreground count (ROADMAP guidance
-    # ~1.3x expected silhouette pixels to cover 8-row super-row slack);
-    # all caps report zero drops here.  ellipse_rects bins with the
-    # 3-sigma ellipse AABB (strictly fewer pairs than the CUDA
-    # circumscribed circle: 1.23M live vs 1.46M on this scene, alpha
-    # difference bounded by opacity*exp(-4.5) outside 3 sigma).  The span
-    # schedule is sized from the measured ELLIPSE span histogram (4.6k
-    # span-9, 47k span-6, 196k span-3/4, 59k span-2, 8k span-1 rows)
-    # with 15-30% headroom per class: pair sort length 1.45M vs the
-    # legacy uniform-K 2.82M, zero drops.
-    cfg = RasterizeConfig(max_tiles_per_gaussian=9, max_per_tile=2048,
-                          fg_cap=352_256, pair_budget=1_572_864,
-                          backend="auto", ellipse_rects=True,
-                          span_schedule=((9, 6144), (6, 56320),
-                                         (4, 225280), (2, 71680),
-                                         (1, 16384)))
+    cfg = bench_raster_config()
     args = (jnp.asarray(xyz), jnp.asarray(q), jnp.asarray(scale),
             jnp.asarray(opacity), jnp.asarray(color), jnp.asarray(valid),
             jnp.asarray(cam["view"]), jnp.asarray(cam["proj"]),

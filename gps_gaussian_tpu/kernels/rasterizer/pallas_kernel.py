@@ -500,6 +500,29 @@ def _pair_sort_pre_bwd(p_chunks, num_tiles, max_per_tile, saved, cots):
 _pair_sort_pre.defvjp(_pair_sort_pre_fwd, _pair_sort_pre_bwd)
 
 
+def validate_span_schedule(span_schedule, fg_cap: int, batch: int = 1):
+    """Static-config checks for the staircase path, callable standalone.
+
+    Raises ValueError on any violation.  Exposed so benches/tests can
+    vet a RasterizeConfig's literals WITHOUT building the scene (a red
+    driver bench from a pure-literal config error — BENCH_r04 — should
+    be impossible; tests/test_bench_config.py runs bench.py's exact
+    config through this).
+    """
+    if batch * (1 << 28) > 2 ** 31:
+        raise ValueError("staircase span key packs b|span|slot into i32: "
+                         f"batch {batch} > 8 unsupported")
+    if fg_cap > 1 << 22:
+        raise ValueError(f"staircase span key: fg_cap {fg_cap} > 2^22")
+    counts = [c for _, c in span_schedule]
+    ks = [k for k, _ in span_schedule]
+    if sum(counts) > fg_cap:
+        raise ValueError(f"span_schedule covers {sum(counts)} rows > "
+                         f"fg_cap {fg_cap}")
+    if any(k > 63 for k in ks):
+        raise ValueError("span_schedule K > 63 (span key uses 6 bits)")
+
+
 def render_sorted_staircase(stacked, height: int, width: int,
                             span_schedule, max_per_tile: int, pair_budget,
                             bg_color, interpret: bool = False,
@@ -517,18 +540,7 @@ def render_sorted_staircase(stacked, height: int, width: int,
     batch, n = stacked.shape[0], stacked.shape[1]
     tiles_y, tiles_x = _grids(height, width)
     num_tiles = tiles_y * tiles_x
-    if batch * (1 << 28) > 2 ** 31:
-        raise ValueError("staircase span key packs b|span|slot into i32: "
-                         f"batch {batch} > 8 unsupported")
-    if n > 1 << 22:
-        raise ValueError(f"staircase span key: fg_cap {n} > 2^22")
-    counts = [c for _, c in span_schedule]
-    ks = [k for k, _ in span_schedule]
-    if sum(counts) > n:
-        raise ValueError(f"span_schedule covers {sum(counts)} rows > "
-                         f"fg_cap {n}")
-    if any(k > 63 for k in ks):
-        raise ValueError("span_schedule K > 63 (span key uses 6 bits)")
+    validate_span_schedule(span_schedule, n, batch)
 
     flat = stacked.reshape(batch * n, PROPW)
     mean2d = lax.stop_gradient(flat[:, 0:2])
