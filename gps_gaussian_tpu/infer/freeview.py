@@ -112,9 +112,19 @@ class FreeviewRenderer:
         self._render = {}
         # reading the drop counters forces a device->host sync that
         # serializes dispatch; check the first frame and then every Nth
-        # (0 = never) instead of stalling the sweep on every view
+        # (0 = never) instead of stalling the sweep on every view.
+        # Between checks, counters ACCUMULATE on-device (a cheap add on
+        # the dispatch stream, no sync) so overflow on unchecked frames
+        # is never lost — flush_drop_report() reads the totals with one
+        # sync at end-of-sweep.
         self.check_drops_every = 16
         self._frames_rendered = 0
+        self._frames_forwarded = 0   # gaussians() has its own cadence
+        # device-scalar handles, NOT synced values: kept as-is per frame
+        # (no extra dispatches mid-sweep) and reduced with one sync in
+        # flush_drop_report
+        self._fg_drop_handles = []
+        self._pair_drop_handles = []
 
     # -------------------------------------------------------------- core
     def _forward_impl(self, batch: StereoSample):
@@ -129,9 +139,12 @@ class FreeviewRenderer:
     def gaussians(self, batch: StereoSample) -> FlatGaussians:
         gauss, n_dropped = self._forward(batch)
         # reading the counter is a host sync that breaks dispatch
-        # pipelining — throttle it exactly like the per-view drop checks
+        # pipelining — throttle on a counter gaussians() itself advances
+        # (render()'s cadence doesn't apply to forward-only callers) and
+        # keep the device handle so no unchecked frame goes unreported
+        self._fg_drop_handles.append(n_dropped)
         every = self.check_drops_every
-        if every and self._frames_rendered % every == 0:
+        if every and self._frames_forwarded % every == 0:
             drops = int(n_dropped)
             if drops:
                 import logging
@@ -139,7 +152,31 @@ class FreeviewRenderer:
                 logging.getLogger("gps_tpu.infer").warning(
                     "foreground compaction dropped %d valid gaussians this "
                     "frame (raise raster.fg_cap)", drops)
+        self._frames_forwarded += 1
         return gauss
+
+    def flush_drop_report(self):
+        """One host sync: total drops accumulated across the sweep.
+
+        Returns (fg_drops, pair_drops) and logs if nonzero; sweeps call
+        this once at the end so sustained overflow on throttled
+        (unchecked) frames can never pass silently."""
+        fg = (int(jnp.sum(jnp.stack(self._fg_drop_handles)))
+              if self._fg_drop_handles else 0)
+        pair = (int(jnp.sum(jnp.stack(
+            [h.num_dropped.sum() + h.num_fg_dropped.sum()
+             + h.num_pair_dropped.sum() for h in self._pair_drop_handles])))
+            if self._pair_drop_handles else 0)
+        self._fg_drop_handles.clear()
+        self._pair_drop_handles.clear()
+        if fg or pair:
+            import logging
+
+            logging.getLogger("gps_tpu.infer").warning(
+                "sweep total: %d valid gaussians dropped by fg_cap, %d "
+                "pairs dropped by capacity caps (raise raster.fg_cap/"
+                "max_per_tile/pair_budget)", fg, pair)
+        return fg, pair
 
     def render(self, gauss: FlatGaussians, camera: NovelCamera):
         """Returns (images (1,H,W,3), RasterizeAux with drop counters)."""
@@ -156,6 +193,7 @@ class FreeviewRenderer:
                 self._render[key] = jax.jit(
                     lambda g, c: rasterize(g, c, self.bg, self.rcfg))
         img, aux = self._render[key](gauss, camera)
+        self._pair_drop_handles.append(aux)
         every = self.check_drops_every
         if every and self._frames_rendered % every == 0:
             drops = int(aux.num_dropped.sum() + aux.num_fg_dropped.sum()
@@ -193,16 +231,24 @@ class FreeviewRenderer:
         gauss = self.gaussians(batch)
         res = self.cfg.dataset.src_res
         out_res = res * 2 if self.cfg.dataset.use_hr_img else res
-        # two-phase sweep: dispatch EVERY view first (render() is an async
-        # jit dispatch), then materialize — the device pipelines all N
-        # renders back-to-back instead of stalling on each host transfer
-        handles = []
+        # pipelined sweep with a BOUNDED window: render() is an async jit
+        # dispatch, so keeping a few views in flight overlaps device work
+        # with host transfers — but holding ALL n_views resident would
+        # cost n_views * H*W*3 f32 of HBM next to the rasterizer
+        # workspace (~50 MB/frame at 2K), so the oldest handle is
+        # materialized as each new view is dispatched
+        window = 4
+        handles, out = [], []
         for i in range(n_views):
             ratio = (i + 0.5) / n_views
             cam = self.novel_camera_at(sample, ratio, out_res, out_res)
             img, _ = self.render(gauss, cam)
             handles.append(img)
-        return [np.clip(np.asarray(h[0]), 0, 1) for h in handles]
+            if len(handles) > window:
+                out.append(np.clip(np.asarray(handles.pop(0)[0]), 0, 1))
+        out.extend(np.clip(np.asarray(h[0]), 0, 1) for h in handles)
+        self.flush_drop_report()
+        return out
 
     def infer_sequence(self, ratio: float = 0.5):
         """Render every dataset frame at one fixed novel ratio
@@ -225,6 +271,7 @@ class FreeviewRenderer:
             prev = (sample["name"], img)
         if prev is not None:
             yield prev[0], np.clip(np.asarray(prev[1][0]), 0, 1)
+        self.flush_drop_report()
 
 
 def load_renderer(cfg: Config, ckpt_dir: str,

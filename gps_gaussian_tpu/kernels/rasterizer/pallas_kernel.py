@@ -454,6 +454,10 @@ def _pair_sort_pre_impl(props9, tile_f, depth, p_chunks, num_tiles,
     # on the carried UNIQUE slot, so gradients always match the order
     # actually produced.  Stability would cost one hidden iota operand
     # pass (XLA StableSortExpander) over the full pair length.
+    # ASSUMPTION (pinned by tests/test_staircase.py tie-heavy case): the
+    # train path carries one extra slot operand vs the inference primal;
+    # XLA's unstable tie resolution must not depend on operand count or
+    # train/eval renders diverge bitwise on shared (tile, qdepth) bins.
     if with_slot:
         slot = jnp.arange(nK, dtype=jnp.int32)
         sorted_ = lax.sort((key, slot) + tuple(props9), num_keys=1,

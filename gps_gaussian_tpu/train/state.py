@@ -65,17 +65,36 @@ def _scale_updates_by_group(scales: dict) -> optax.GradientTransformation:
         del params
 
         def scale(path, u):
-            top = path[1].key if len(path) > 1 else (
-                path[0].key if path else None)
-            # params trees look like {"params": {module: ...}}; fall back
-            # to the first key if there is no "params" wrapper
-            if path and path[0].key in scales:
-                top = path[0].key
+            top = _group_of_path(path)
             return u * scales.get(top, 1.0)
 
         return jax.tree_util.tree_map_with_path(scale, updates), state
 
     return optax.GradientTransformation(init, update)
+
+
+def _group_of_path(path):
+    """Module-group name of a param path: the key under the flax 'params'
+    wrapper when present, else the first key.  Non-dict path entries
+    (tuple/list nodes) yield None -> scale 1.0, never an error."""
+    keys = [getattr(e, "key", None) for e in path[:2]]
+    if keys and keys[0] == "params" and len(keys) > 1:
+        return keys[1]
+    return keys[0] if keys else None
+
+
+def validate_group_scales(scales: dict, params) -> None:
+    """Every lr_group_scales key must name a module group that exists in
+    the params tree — a typo'd key would otherwise be a silent no-op
+    (exactly how a training fix fails to apply)."""
+    groups = set()
+    for kp, _ in jax.tree_util.tree_flatten_with_path(params)[0]:
+        groups.add(_group_of_path(kp))
+    missing = sorted(set(scales) - groups)
+    if missing:
+        raise ValueError(
+            f"lr_group_scales keys {missing} match no top-level module in "
+            f"the param tree (groups present: {sorted(g for g in groups if g)})")
 
 
 def make_optimizer(cfg: Config) -> optax.GradientTransformation:
@@ -92,6 +111,8 @@ def make_optimizer(cfg: Config) -> optax.GradientTransformation:
 
 
 def create_state(cfg: Config, params) -> TrainState:
+    if cfg.lr_group_scales:
+        validate_group_scales(dict(cfg.lr_group_scales), params)
     tx = make_optimizer(cfg)
     return TrainState(step=jnp.zeros((), jnp.int32), params=params,
                       opt_state=tx.init(params), tx=tx)

@@ -1,6 +1,7 @@
 """Rasterizer correctness: independent numpy oracle, invariants, binned-vs-
 reference forward/gradient allclose."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -89,6 +90,7 @@ def _np_walk_oracle(proj: Projected, bg, res):
     return img
 
 
+@pytest.mark.fast
 def test_reference_matches_numpy_walk(rng):
     cam = _camera()
     xyz, q, scale, opacity, color, valid = _scene(rng, n=150)
@@ -119,6 +121,7 @@ def test_empty_scene_is_background(rng):
     np.testing.assert_allclose(np.asarray(aux.transmittance), 1.0)
 
 
+@pytest.mark.fast
 def test_opaque_foreground_occludes(rng):
     """A nearly-opaque near Gaussian hides a far one along the view ray."""
     cam = _camera()
@@ -187,6 +190,7 @@ def test_binned_matches_reference_gradients(rng):
             atol=2e-4, err_msg=f"grad mismatch for {name}")
 
 
+@pytest.mark.fast
 def test_duplication_cap_overflow_is_counted(rng):
     cam = _camera()
     # one huge gaussian covering many tiles
@@ -377,6 +381,7 @@ def test_hi_res_2048_render_both_backends(rng):
     assert float(jnp.abs(img_p - 0.1).max()) > 0.1
 
 
+@pytest.mark.fast
 def test_pack_sort_key_edges(rng):
     """Key packing: max-depth stays in its tile (the f32 2^qbits-1 clip
     bound bug), dead pairs sort last regardless of garbage depth."""
@@ -405,6 +410,7 @@ def test_pack_sort_key_edges(rng):
     assert (np.asarray(key2) >= total_tiles * (1 << qbits)).all()
 
 
+@pytest.mark.fast
 def test_live_first_order_contract(rng):
     from gps_gaussian_tpu.kernels.rasterizer.compaction import \
         live_first_order

@@ -98,6 +98,35 @@ def test_ellipse_rects_close_and_cheaper(scene):
         assert bool(jnp.isfinite(g).all())
 
 
+def test_tie_heavy_train_fwd_matches_primal(scene):
+    """The train-mode pair sort carries an extra slot operand that the
+    inference primal sort omits (is_stable=False on both).  On pairs
+    sharing a (tile, qdepth) bin XLA's tie resolution MUST still agree
+    between the two sorts or train and eval renders diverge bitwise —
+    pin that assumption with a scene where every Gaussian shares one
+    depth (maximally tie-heavy)."""
+    res, xyz, q, scale, op, col, valid, cam = scene
+    xyz = np.array(xyz)
+    xyz[:, 2] = 2.0          # all gaussians in one quantized depth bin
+    cfg = RasterizeConfig(backend="pallas", interpret=True, fg_cap=320,
+                          max_per_tile=512, pair_budget=4096,
+                          span_schedule=((16, 320),))
+    bg = jnp.zeros(3, jnp.float32)
+    view, proj = jnp.asarray(cam["view"]), jnp.asarray(cam["proj"])
+    args = (jnp.asarray(xyz), jnp.asarray(q), jnp.asarray(scale),
+            jnp.asarray(op), jnp.asarray(col), jnp.asarray(valid), view,
+            proj, cam["tanfovx"], cam["tanfovy"], res, res, bg, cfg)
+
+    img_primal, _ = rasterize_single(*args)          # no-slot sort
+
+    def loss(xyz):
+        img, _ = rasterize_single(xyz, *args[1:])
+        return jnp.sum(img), img
+
+    (_, img_train), _ = jax.value_and_grad(loss, has_aux=True)(args[0])
+    assert jnp.array_equal(img_primal, img_train)
+
+
 def test_staircase_counts_drops(scene):
     """A starved schedule must COUNT the dropped pairs, never silently
     truncate (SURVEY.md §7 hard part 2)."""

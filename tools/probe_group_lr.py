@@ -11,8 +11,12 @@ PSNR every 50 steps.
 Usage: python tools/probe_group_lr.py [--steps 300] [--backbone-scale 0.1]
        [--lr 5e-5]
 """
-import sys; sys.path.insert(0, "/root/repo")  # noqa: E702
-import argparse
+import sys
+from pathlib import Path
+
+_REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(_REPO))
+import argparse  # noqa: E402
 
 
 def main():
@@ -24,6 +28,11 @@ def main():
                          "(default: same as --backbone-scale)")
     ap.add_argument("--lr", type=float, default=5e-5)
     ap.add_argument("--eval-every", type=int, default=50)
+    ap.add_argument("--config",
+                    default=str(_REPO / "configs/stage2_synth256.yaml"))
+    ap.add_argument("--data-root", default=str(_REPO / "data/synth256"))
+    ap.add_argument("--stage1-ckpt",
+                    default=str(_REPO / "runs/synth256/stage1"))
     args = ap.parse_args()
 
     import jax
@@ -41,8 +50,8 @@ def main():
     scales = {"img_encoder": enc,
               "raft_stereo": args.backbone_scale}
     cfg = load_config(
-        "/root/repo/configs/stage2_synth256.yaml", stage="stage2",
-        **{"dataset": {"data_root": "/root/repo/data/synth256"},
+        args.config, stage="stage2",
+        **{"dataset": {"data_root": args.data_root},
            "lr": args.lr,
            "lr_group_scales": scales})
     ds_cfg = DatasetConfig(data_root=cfg.dataset.data_root, src_res=256,
@@ -58,8 +67,7 @@ def main():
     vbatch, _ = next(iter(eval_batches(vds, cfg.batch_size, (3,))))
     params = jax.jit(lambda k, b: model.init(k, b, iters=3))(
         jax.random.PRNGKey(1314), vbatch)
-    params, n = state_lib.restore_params_partial(
-        "/root/repo/runs/synth256/stage1", params)
+    params, n = state_lib.restore_params_partial(args.stage1_ckpt, params)
     print(f"warm start: {n} leaves; lr {args.lr} backbone x"
           f"{args.backbone_scale}", flush=True)
     state = state_lib.create_state(cfg, params)
