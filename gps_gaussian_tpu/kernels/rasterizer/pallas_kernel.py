@@ -922,7 +922,13 @@ def _bwd_kernel(start_ref, count_ref, props_ref, res_ref, g_ref, zeros_ref,
                 0.0)
 
             not_clamped = (alpha_un < ALPHA_MAX).astype(jnp.float32)
-            G = jnp.exp(power)
+            # G = exp(power) recovered from alpha_un = op * exp(power) by
+            # one reciprocal-mul instead of a second transcendental per
+            # pair-pixel (the fwd's exp already ran inside _chunk_terms).
+            # op <= 0 rows never blend (alpha = 0 -> g_alpha = 0), and the
+            # clamped reciprocal keeps the dead product finite, so the
+            # masked result is bitwise 0 exactly as before.
+            G = alpha_un / jnp.maximum(p[5:6, :], 1e-30)
             gp = g_alpha * alpha_un * not_clamped  # dL/dpower (PIX, CHUNK)
 
             gscratch[slot, j, 0:1, :] = jnp.sum(

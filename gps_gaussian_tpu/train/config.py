@@ -97,6 +97,16 @@ class Config:
     seed: int = 1314
     remat: bool = False   # rematerialize the model fwd (HBM for FLOPs
                           # at hi-res stage2; SURVEY.md §7 hard part 4)
+    # stage-2 loss mix (reference train_stage2.py:70-72 fixes
+    # 1.0*flow + 0.8*L1 + 0.2*(1-SSIM); these knobs exist because at
+    # short proof schedules the flow term — already converged by stage 1
+    # — fights the photometric adaptation of the shared backbone, while
+    # the reference's 100k-step schedule absorbs the conflict.  Defaults
+    # are the reference's weights; only scaled-down proof recipes
+    # override them)
+    flow_weight: float = 1.0
+    l1_weight: float = 0.8
+    ssim_weight: float = 0.2
     # per-parameter-group lr multipliers keyed by TOP-LEVEL module name
     # (e.g. {"img_encoder": 0.1, "raft_stereo": 0.1}).  The reference has
     # a single param group; this exists because stage-2 warm starts mix

@@ -106,7 +106,8 @@ def make_train_step(model: GPSGaussianModel, cfg: Config, stage: str,
         img_gt = batch.novel.img
         l1 = losses.l1_loss(img_pred, img_gt)
         ssim_val = losses.ssim(img_pred, img_gt)
-        total = 1.0 * flow_loss + 0.8 * l1 + 0.2 * (1.0 - ssim_val)
+        total = (cfg.flow_weight * flow_loss + cfg.l1_weight * l1
+                 + cfg.ssim_weight * (1.0 - ssim_val))
         metrics = dict(metrics, l1=l1, ssim=ssim_val, flow_loss=flow_loss,
                        **drop_metrics(raux))
         return total, metrics

@@ -27,6 +27,8 @@ def main():
                     help="separate scale for the shared img_encoder "
                          "(default: same as --backbone-scale)")
     ap.add_argument("--lr", type=float, default=5e-5)
+    ap.add_argument("--flow-weight", type=float, default=None,
+                    help="override cfg.flow_weight (reference: 1.0)")
     ap.add_argument("--eval-every", type=int, default=50)
     ap.add_argument("--config",
                     default=str(_REPO / "configs/stage2_synth256.yaml"))
@@ -49,11 +51,14 @@ def main():
            else args.backbone_scale)
     scales = {"img_encoder": enc,
               "raft_stereo": args.backbone_scale}
-    cfg = load_config(
-        args.config, stage="stage2",
-        **{"dataset": {"data_root": args.data_root},
-           "lr": args.lr,
-           "lr_group_scales": scales})
+    if enc == 1.0 and args.backbone_scale == 1.0:
+        scales = None           # single group, reference semantics
+    overrides = {"dataset": {"data_root": args.data_root},
+                 "lr": args.lr,
+                 "lr_group_scales": scales}
+    if args.flow_weight is not None:
+        overrides["flow_weight"] = args.flow_weight
+    cfg = load_config(args.config, stage="stage2", **overrides)
     ds_cfg = DatasetConfig(data_root=cfg.dataset.data_root, src_res=256,
                            source_ids=(0, 1), train_novel_ids=(2, 3, 4),
                            val_novel_ids=(3,), use_hr_img=True,
