@@ -92,9 +92,20 @@ class Config:
     grad_clip: float = 1.0
     num_steps: int = 40000
     scheduler_steps: Optional[int] = None   # None -> num_steps + 100
+    # 'onecycle' = torch OneCycleLR(linear) exactly (the reference,
+    # train_stage1.py:40-41); 'constant' = flat peak lr, used by short
+    # proof recipes where the decay of a reference-length schedule
+    # compressed into 1.2k steps starves the recovery phase
+    scheduler: str = "onecycle"
     restore_ckpt: Optional[str] = None
     stage1_ckpt: Optional[str] = None
     seed: int = 1314
+    # separate loader shuffling seed (None = seed).  Exists so a proof
+    # recipe can pin the exact (init, data-order) pair a probe validated
+    # — early stage-2 trajectories are sensitive to sample order (the
+    # geometry either stays anchored or drifts before the fresh heads
+    # adapt; ROADMAP.md stage-2 findings)
+    loader_seed: Optional[int] = None
     remat: bool = False   # rematerialize the model fwd (HBM for FLOPs
                           # at hi-res stage2; SURVEY.md §7 hard part 4)
     # stage-2 loss mix (reference train_stage2.py:70-72 fixes

@@ -98,8 +98,14 @@ def validate_group_scales(scales: dict, params) -> None:
 
 
 def make_optimizer(cfg: Config) -> optax.GradientTransformation:
-    sched = onecycle_linear(
-        cfg.lr, cfg.scheduler_steps or (cfg.num_steps + 100))
+    if cfg.scheduler == "constant":
+        sched = cfg.lr
+    elif cfg.scheduler == "onecycle":
+        sched = onecycle_linear(
+            cfg.lr, cfg.scheduler_steps or (cfg.num_steps + 100))
+    else:
+        raise ValueError(f"unknown scheduler {cfg.scheduler!r} "
+                         "(expected 'onecycle' or 'constant')")
     chain = [
         optax.clip_by_global_norm(cfg.grad_clip),
         optax.adamw(learning_rate=sched, weight_decay=cfg.wdecay,

@@ -264,7 +264,8 @@ class Trainer:
 
         novel_train = tuple(cfg.dataset.train_novel_id)
         self.train_loader = BatchLoader(
-            self.train_ds, cfg.batch_size, novel_train, seed=cfg.seed,
+            self.train_ds, cfg.batch_size, novel_train,
+            seed=cfg.seed if cfg.loader_seed is None else cfg.loader_seed,
             num_procs=cfg.dataset.num_workers,
             process_index=jax.process_index(),
             process_count=jax.process_count())
