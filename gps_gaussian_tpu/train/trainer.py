@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from gps_gaussian_tpu.data.loader import BatchLoader
+from gps_gaussian_tpu.data.loader import BatchLoader, collate
 from gps_gaussian_tpu.data.thuman import DatasetConfig, StereoHumanDataset
 from gps_gaussian_tpu.kernels.rasterizer import RasterizeConfig, rasterize
 from gps_gaussian_tpu.models.gps_gaussian import GPSGaussianModel
@@ -97,19 +97,34 @@ def make_train_step(model: GPSGaussianModel, cfg: Config, stage: str,
 
     def loss_fn(params, batch: StereoSample):
         out = apply_model(params, batch)
-        flow_gt, valid = _stacked_flow_gt(batch)
-        flow_loss, metrics = losses.sequence_loss(
-            out.flow_preds, flow_gt, valid)
         if stage == "stage1":
+            flow_gt, valid = _stacked_flow_gt(batch)
+            flow_loss, metrics = losses.sequence_loss(
+                out.flow_preds, flow_gt, valid)
             return flow_loss, metrics
         img_pred, raux = render_novel(out, batch.novel, bg, rcfg)
         img_gt = batch.novel.img
         l1 = losses.l1_loss(img_pred, img_gt)
         ssim_val = losses.ssim(img_pred, img_gt)
-        total = (cfg.flow_weight * flow_loss + cfg.l1_weight * l1
-                 + cfg.ssim_weight * (1.0 - ssim_val))
-        metrics = dict(metrics, l1=l1, ssim=ssim_val, flow_loss=flow_loss,
-                       **drop_metrics(raux))
+        total = cfg.l1_weight * l1 + cfg.ssim_weight * (1.0 - ssim_val)
+        metrics = dict(l1=l1, ssim=ssim_val, **drop_metrics(raux))
+        if cfg.flow_weight != 0.0:
+            flow_gt, valid = _stacked_flow_gt(batch)
+            flow_loss, fmetrics = losses.sequence_loss(
+                out.flow_preds, flow_gt, valid)
+            total = total + cfg.flow_weight * flow_loss
+            metrics = dict(metrics, flow_loss=flow_loss, **fmetrics)
+        # flow_weight 0: the flow branch must leave the gradient program
+        # ENTIRELY, not ride along for metrics.  Even a dead 0*flow term
+        # — or just sequence_loss's metric reductions — keeps the three
+        # full-res convex-upsample flow branches live in the compiled
+        # step, and the altered bf16 fusion/rematerialization perturbs
+        # the SHARED backbone gradients enough to flip the training
+        # trajectory into a collapsing basin: measured on-chip, the
+        # metrics-in-program step falls 33 -> 29 dB val PSNR in 50
+        # steps while the bitwise-same-loss bare program climbs to 35.6
+        # (ROADMAP.md stage-2 findings).  EPE still surfaces via the
+        # eval sweep's val_epe.
         return total, metrics
 
     def train_step(state: state_lib.TrainState, batch: StereoSample):
@@ -284,8 +299,15 @@ class Trainer:
         # init params from one host batch.  model.init must be jitted: un-
         # jitted flax init dispatches each traced op eagerly, and through a
         # remote-TPU tunnel (~24 ms RPC per dispatch) a stage-2 init takes
-        # MINUTES; jitted it is one compile + one dispatch
-        init_batch = self._device_batch(next(self.train_loader))
+        # MINUTES; jitted it is one compile + one dispatch.  The batch is
+        # built straight from the dataset, NOT pulled from train_loader:
+        # consuming a loader batch for init would shift the training data
+        # order by one batch relative to an identically-seeded probe run
+        # (early stage-2 trajectories are sample-order sensitive —
+        # ROADMAP.md stage-2 findings)
+        init_batch = self._device_batch(collate(
+            [self.train_ds.get_sample(i % len(self.train_ds), novel_train)
+             for i in range(cfg.batch_size)]))
         params = jax.jit(
             lambda k, b: self.model.init(k, b, iters=cfg.raft.train_iters)
         )(jax.random.PRNGKey(cfg.seed), init_batch)

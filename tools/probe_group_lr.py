@@ -30,6 +30,14 @@ def main():
     ap.add_argument("--flow-weight", type=float, default=None,
                     help="override cfg.flow_weight (reference: 1.0)")
     ap.add_argument("--eval-every", type=int, default=50)
+    ap.add_argument("--no-donate", action="store_true",
+                    help="jit the train step WITHOUT donate_argnums "
+                         "(bisecting a trainer-vs-probe trajectory "
+                         "divergence)")
+    ap.add_argument("--bare-metrics", action="store_true",
+                    help="replace make_train_step with a minimal "
+                         "photometric-only step (no flow/drop metrics in "
+                         "the jitted program) using the same TrainState")
     ap.add_argument("--config",
                     default=str(_REPO / "configs/stage2_synth256.yaml"))
     ap.add_argument("--data-root", default=str(_REPO / "data/synth256"))
@@ -77,9 +85,27 @@ def main():
           f"{args.backbone_scale}", flush=True)
     state = state_lib.create_state(cfg, params)
 
-    train_step = jax.jit(T.make_train_step(model, cfg, "stage2", rcfg),
-                         donate_argnums=(0,))
     bg = jnp.zeros(3, jnp.float32)
+    if args.bare_metrics:
+        def _bare_loss(params, batch):
+            out = model.apply(params, batch, iters=cfg.raft.train_iters)
+            img_pred, _ = T.render_novel(out, batch.novel, bg, rcfg)
+            l1 = losses.l1_loss(img_pred, batch.novel.img)
+            ss = losses.ssim(img_pred, batch.novel.img)
+            return (cfg.l1_weight * l1
+                    + cfg.ssim_weight * (1.0 - ss)), {"l1": l1,
+                                                      "train_epe": l1 * 0}
+
+        def _bare_step(state, batch):
+            (loss, metrics), grads = jax.value_and_grad(
+                _bare_loss, has_aux=True)(state.params, batch)
+            return state.apply_gradients(grads), dict(metrics, loss=loss)
+
+        step_fn = _bare_step
+    else:
+        step_fn = T.make_train_step(model, cfg, "stage2", rcfg)
+    train_step = (jax.jit(step_fn) if args.no_donate
+                  else jax.jit(step_fn, donate_argnums=(0,)))
 
     @jax.jit
     def val_psnr(params, batch):
@@ -96,9 +122,11 @@ def main():
         state, metrics = train_step(state, batch)
         if (i + 1) % args.eval_every == 0:
             p, l = val_psnr(state.params, vbatch)
+            epe = metrics.get("train_epe")
+            epe_s = f"epe {float(epe):.3f} " if epe is not None else ""
             print(f"step {i + 1}: train l1 {float(metrics['l1']):.4f} "
-                  f"epe {float(metrics['train_epe']):.3f} | "
-                  f"val psnr {float(p):.2f} l1 {float(l):.4f}", flush=True)
+                  f"{epe_s}| val psnr {float(p):.2f} l1 {float(l):.4f}",
+                  flush=True)
     loader.close()
 
 
