@@ -25,6 +25,12 @@ def main():
     ap.add_argument("--steps", type=int, default=8)
     ap.add_argument("--no-remat", action="store_true")
     ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--max-tiles", type=int, default=None,
+                    help="override raster.max_tiles_per_gaussian")
+    ap.add_argument("--ckpt", default=None,
+                    help="warm-start params (partial restore) so gaussian "
+                         "scales/opacities are realistic — random init "
+                         "saturates the duplication cap at hr")
     args = ap.parse_args()
 
     from gps_gaussian_tpu.train.config import load_config
@@ -36,7 +42,10 @@ def main():
                        "num_workers": 2},
            "batch_size": args.batch,
            "remat": not args.no_remat,
-           "record": {"loss_freq": 1000, "eval_freq": 10 ** 9}})
+           "record": {"loss_freq": 1000, "eval_freq": 10 ** 9},
+           **({"stage1_ckpt": args.ckpt} if args.ckpt else {}),
+           **({"raster": {"max_tiles_per_gaussian": args.max_tiles}}
+              if args.max_tiles else {})})
     trainer = Trainer(cfg, exp_dir="/tmp/hr2048_exp")
 
     dev = jax.local_devices()[0]
