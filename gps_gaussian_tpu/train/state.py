@@ -193,7 +193,24 @@ def restore_params_partial(ckpt_dir: str, params,
 
     mgr = _manager(ckpt_dir)
     step = step if step is not None else mgr.latest_step()
-    ckpt = mgr.restore(step)
+    try:
+        ckpt = mgr.restore(step)
+    except ValueError:
+        # a targetless restore replays the SAVED device shardings, which
+        # fails when the checkpoint was written on different hardware
+        # (e.g. committed TPU-trained ckpts restored on CPU).  Rebuild an
+        # abstract target on the local default device from the saved
+        # structure and restore into that instead.
+        meta = mgr.item_metadata(step)
+        dev = jax.local_devices()[0]
+        sharding = jax.sharding.SingleDeviceSharding(dev)
+
+        def abstract(leaf):
+            return jax.ShapeDtypeStruct(tuple(leaf.shape), leaf.dtype,
+                                        sharding=sharding)
+
+        target = jax.tree_util.tree_map(abstract, dict(meta))
+        ckpt = mgr.restore(step, args=ocp.args.StandardRestore(target))
     saved = ckpt["params"]
 
     flat_new = jax.tree_util.tree_flatten_with_path(params)[0]
